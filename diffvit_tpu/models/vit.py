@@ -1,0 +1,578 @@
+"""Functional, TPU-native ViT/DeiT with fully-quantized inference.
+
+Rebuild of /root/reference/models/vit_fquant.py + layers_quant.py as three
+pure functions over explicit pytrees instead of flag-toggled nn.Modules:
+
+* ``forward_fp(params, spec, x)``       — float forward (the reference's
+  un-calibrated model / ``hessian_statistic=True`` path, vit_fquant.py:196).
+* ``calibrate(params, spec, cfg, x)``   — the single-batch calibration
+  protocol (test_quant.py:234-249): runs the float forward while computing
+  every quantization parameter (observer scales, PoT exponents, SmoothQuant
+  channel scales, per-bit weight scale dictionaries) and the per-linear
+  per-bit weight-quantization distances (``global_distance``).
+  Returns ``(qparams, global_distance)`` where qparams is a flat
+  ``{path: array}`` pytree — serializable, closing the reference's
+  no-checkpoint gap (SURVEY §5).
+* ``forward_q(params, qparams, spec, cfg, x, bit_config)`` — fully-quantized
+  inference with static per-layer bit choices (the ``bit_config`` contract,
+  SURVEY §2.6): 50 ints for a 12-block model — patch conv, then per block
+  [qkv, proj, fc1, fc2], then head; values 4/8 select the per-bit scale
+  dictionaries, -1 runs the layer in FP32 and flips the preceding LayerNorm
+  to float mode (vit_fquant.py:429-430,462-463).
+
+TPU-first design notes:
+* The 16x16/stride-16 patchify conv is algebraically a matmul over extracted
+  patches; it is implemented as reshape+transpose+matmul so the MXU sees one
+  big GEMM and the quantization machinery treats it like any linear.
+* bit_config is a static tuple — each distinct config traces/compiles once
+  and is cached; inside the trace all control flow is static.
+* Integer LayerNorm / Log-Int-Softmax use the jnp implementations in
+  diffvit_tpu.ops (Pallas kernels with identical semantics live in
+  ops/pallas and are swapped in by the runtime when enabled).
+
+Divergences from the reference (intended-behavior fixes, documented):
+* The reference permanently flips ``norm.mode`` to 'ln' when it sees a -1 bit
+  (vit_fquant.py:429-430); here the float-LN choice is per-call, derived from
+  the static bit_config.
+* Observer statistics are computed per (weight, bit) freshly instead of
+  through a running max mutated across the bit sweep — identical results for
+  the active single-calibration-batch, single-alpha protocol.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import QuantConfig
+from ..ops.bit_types import BIT_TYPE_DICT, CALIB_WEIGHT_BIT_TYPES, BitType
+from ..ops.int_layernorm import float_layernorm, int_layernorm
+from ..ops.lis import log_int_softmax
+from ..ops.quant import fake_quant, round_ln
+from ..calib.observers import act_qparams, minmax_weight_qparams
+
+
+# ---------------------------------------------------------------------------
+# Model specs (vit_fquant.py:802-933 factory functions)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ViTSpec:
+    name: str
+    embed_dim: int
+    depth: int
+    num_heads: int
+    patch_size: int = 16
+    img_size: int = 224
+    mlp_ratio: int = 4
+    num_classes: int = 1000
+    input_quant: bool = True
+    ln_eps: float = 1e-6
+
+    @property
+    def num_patches(self) -> int:
+        return (self.img_size // self.patch_size) ** 2
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + 1
+
+    @property
+    def head_dim(self) -> int:
+        return self.embed_dim // self.num_heads
+
+    @property
+    def attn_scale(self) -> float:
+        return self.head_dim ** -0.5
+
+    @property
+    def hidden_dim(self) -> int:
+        return self.embed_dim * self.mlp_ratio
+
+
+VIT_SPECS = {
+    "deit_tiny": ViTSpec("deit_tiny", 192, 12, 3),
+    "deit_small": ViTSpec("deit_small", 384, 12, 6),
+    "deit_base": ViTSpec("deit_base", 768, 12, 12),
+    "vit_base": ViTSpec("vit_base", 768, 12, 12),
+    "vit_large": ViTSpec("vit_large", 1024, 24, 16, input_quant=False),
+}
+
+
+def flops_list(spec: ViTSpec):
+    """Static per-layer MAC counts, matching the FLOPs companion output
+    (layers_quant.py:329,344,482; vit_fquant.py:304,336,794).
+    Length = 4*depth + 2 (patch conv, 4 linears/block, head)."""
+    c, n = spec.embed_dim, spec.seq_len
+    g = spec.img_size // spec.patch_size
+    fl = [3 * spec.patch_size**2 * c * g * g]
+    for _ in range(spec.depth):
+        fl += [n * c * 3 * c, n * c * c, n * c * spec.hidden_dim,
+               n * spec.hidden_dim * c]
+    fl.append(c * spec.num_classes)
+    return fl
+
+
+def num_bit_slots(spec: ViTSpec) -> int:
+    return 4 * spec.depth + 2
+
+
+# ---------------------------------------------------------------------------
+# Parameter init / structure
+# ---------------------------------------------------------------------------
+
+def init_params(spec: ViTSpec, key, dtype=jnp.float32):
+    """Random init matching the reference's trunc_normal(0.02) scheme
+    (vit_fquant.py:641-653).  Weight layout is torch-style (out, in); the
+    patch conv is stored pre-flattened as (embed_dim, 3*ps*ps)."""
+    c, hd = spec.embed_dim, spec.hidden_dim
+    keys = iter(jax.random.split(key, 8 + 8 * spec.depth))
+
+    def tn(k, shape, std=0.02):
+        return (std * jax.random.truncated_normal(k, -2.0, 2.0, shape)).astype(dtype)
+
+    def lin(k, cout, cin):
+        return {"w": tn(k, (cout, cin)), "b": jnp.zeros((cout,), dtype)}
+
+    def ln():
+        return {"w": jnp.ones((c,), dtype), "b": jnp.zeros((c,), dtype)}
+
+    params = {
+        "cls_token": tn(next(keys), (1, 1, c)),
+        "pos_embed": tn(next(keys), (1, spec.seq_len, c)),
+        "patch_embed": lin(next(keys), c, 3 * spec.patch_size**2),
+        "blocks": [],
+        "norm": ln(),
+        "head": lin(next(keys), spec.num_classes, c),
+    }
+    for _ in range(spec.depth):
+        params["blocks"].append({
+            "norm1": ln(),
+            "qkv": lin(next(keys), 3 * c, c),
+            "proj": lin(next(keys), c, c),
+            "norm2": ln(),
+            "fc1": lin(next(keys), hd, c),
+            "fc2": lin(next(keys), c, hd),
+        })
+    return params
+
+
+def patchify(x, spec: ViTSpec):
+    """NCHW image -> (B, num_patches, 3*ps*ps) patches whose flattening
+    order (Cin, kh, kw) matches torch Conv2d weight.reshape(Cout, -1), so the
+    patch conv is exactly patches @ W.T + b."""
+    b = x.shape[0]
+    g, p = spec.img_size // spec.patch_size, spec.patch_size
+    x = x.reshape(b, 3, g, p, g, p)
+    x = x.transpose(0, 2, 4, 1, 3, 5)  # (B, gh, gw, C, ph, pw)
+    return x.reshape(b, g * g, 3 * p * p)
+
+
+# ---------------------------------------------------------------------------
+# Float forward (reference un-quantized path)
+# ---------------------------------------------------------------------------
+
+def _sdpa(qkv, spec: ViTSpec, softmax_fn):
+    """qkv (B,N,3C) -> attention output (B,N,C).  Matches the head split in
+    vit_fquant.py:309-325."""
+    b, n, _ = qkv.shape
+    h, d = spec.num_heads, spec.head_dim
+    qkv = qkv.reshape(b, n, 3, h, d).transpose(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = (q @ k.transpose(0, 1, 3, 2)) * spec.attn_scale
+    attn = softmax_fn(attn)
+    out = (attn @ v).transpose(0, 2, 1, 3).reshape(b, n, h * d)
+    return out, attn
+
+
+def forward_fp(params, spec: ViTSpec, x, taps=None):
+    """Pure float forward.  ``taps``: optional list collecting
+    (name, activation) pairs at the sites the reference hooks for CKA
+    (QConv2d/QLinear outputs + Attention.qkv_output / Mlp.fc1_output,
+    cka_utility.py:26-110)."""
+
+    def tap(name, t):
+        if taps is not None:
+            taps.append((name, t))
+
+    eps = spec.ln_eps
+    h = patchify(x, spec) @ params["patch_embed"]["w"].T + params["patch_embed"]["b"]
+    tap("patch_embed.proj", h)
+    cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = h + params["pos_embed"]
+
+    for i, blk in enumerate(params["blocks"]):
+        y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+        qkv = y @ blk["qkv"]["w"].T + blk["qkv"]["b"]
+        tap(f"blocks.{i}.attn.qkv", qkv)
+        tap(f"blocks.{i}.attn", qkv)  # Attention.qkv_output cache
+        y, _ = _sdpa(qkv, spec, partial(jax.nn.softmax, axis=-1))
+        y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
+        tap(f"blocks.{i}.attn.proj", y)
+        h = h + y
+
+        y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+        y1 = y @ blk["fc1"]["w"].T + blk["fc1"]["b"]
+        tap(f"blocks.{i}.mlp.fc1", y1)
+        tap(f"blocks.{i}.mlp", y1)  # Mlp.fc1_output cache
+        y = jax.nn.gelu(y1, approximate=False)
+        y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
+        tap(f"blocks.{i}.mlp.fc2", y)
+        h = h + y
+
+    h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
+    logits = h @ params["head"]["w"].T + params["head"]["b"]
+    tap("head", logits)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Calibration (single-batch observe + finalize, test_quant.py:234-249)
+# ---------------------------------------------------------------------------
+
+def _smoothquant_channel_scale(x, w, alpha):
+    """PoT-rounded SmoothQuant channel scale (vit_fquant.py:210-243):
+    2^round_ln(max|x|^alpha / max|w|^(1-alpha))."""
+    gmax = jnp.max(jnp.abs(x).reshape(-1, x.shape[-1]), axis=0)
+    wmax = jnp.max(jnp.abs(w), axis=0)
+    cs = gmax**alpha / (wmax ** (1.0 - alpha))
+    return 2.0 ** round_ln(cs, "round")
+
+
+def _calib_weight_site(qp, dist, path, w2d, x_in, cfg: QuantConfig,
+                       record_distance=True, stack_idx=None):
+    """Per-bit weight scale sweep (models/ptq/layers.py:148-170): bit types
+    [uint3, uint4, int4, int8]; int8 layer-wise, others channel-wise; always
+    symmetric (see calib/observers.py docstring).  Appends the per-bit L2
+    weight error to ``dist`` (global_distance parity).
+
+    stack_idx: when not None, scales are being produced for SmoothQuant
+    bit-pool entry ``stack_idx`` — values are stored under
+    ``{path}.{bit}.scale`` as a leading-axis stack over cfg.bit_pool."""
+    d = []
+    for bt in CALIB_WEIGHT_BIT_TYPES:
+        channel_wise = bt.name != "int8"
+        scale, zp = minmax_weight_qparams(w2d, x_in, bt, channel_wise)
+        wq = fake_quant(w2d, scale[:, None] if channel_wise else scale, 0.0, bt)
+        d.append(jnp.mean((w2d - wq) ** 2))
+        key = f"{path}.{bt.name}.scale"
+        if stack_idx is None:
+            qp[key] = scale
+        else:
+            qp.setdefault(key, [None] * len(cfg.bit_pool))[stack_idx] = scale
+    if record_distance:
+        dist.append(d)
+
+
+def _calib_act_site(qp, path, x, cfg: QuantConfig, observer=None,
+                    bit_type=None):
+    """Observe + finalize an activation site; returns x unchanged (QAct is a
+    passthrough during calibration, layers.py:207-218)."""
+    observer = observer or cfg.observer_a
+    bit_type = bit_type or cfg.bit_a
+    scale, zp = act_qparams(observer, x, bit_type)
+    qp[f"{path}.scale"] = scale
+    qp[f"{path}.zp"] = zp
+    return x
+
+
+def _calib_smooth_linear(qp, dist, path, x, w, b, cfg: QuantConfig,
+                         alpha_pool):
+    """SmoothQuant calibration for qkv/fc1 (vit_fquant.py:196-279,
+    layers_quant.py:221-303).  For each alpha candidate: derive the PoT
+    channel scale, observe the smoothed activation, sweep weight bits; score
+    each (alpha, pool-bit) pair by the quantized-output MSE and cache the
+    winners per pool bit.  With the reference's single-alpha pools the
+    selection is degenerate and skipped.  Returns the FP smoothed output
+    (``gt``), which is what flows onward during calibration."""
+    n_pool = len(cfg.bit_pool)
+    if not cfg.smoothquant:
+        x = _calib_act_site(qp, f"{path}.qact0", x, cfg)
+        _calib_weight_site(qp, dist, f"{path}.w", w, x, cfg)
+        return x @ w.T + b
+
+    cand = []
+    for alpha in alpha_pool:
+        ch = _smoothquant_channel_scale(x, w, alpha)
+        x_s = x / ch
+        w_s = w * ch
+        gt = x_s @ w_s.T + b
+        a_scale, a_zp = act_qparams(cfg.observer_a, x_s, cfg.bit_a)
+        wq = {}
+        wdist = []
+        for bt in CALIB_WEIGHT_BIT_TYPES:
+            channel_wise = bt.name != "int8"
+            s, _ = minmax_weight_qparams(w_s, x_s, bt, channel_wise)
+            wq[bt.name] = s
+            w_fq = fake_quant(w_s, s[:, None] if channel_wise else s, 0.0, bt)
+            wdist.append(jnp.mean((w_s - w_fq) ** 2))
+        cand.append(dict(ch=ch, a_scale=a_scale, a_zp=a_zp, wq=wq, gt=gt,
+                         x_s=x_s, w_s=w_s, wdist=wdist))
+
+    if len(cand) == 1:
+        best = [0] * n_pool
+    else:
+        best = []
+        for pool_bit in cfg.bit_pool:
+            bt = BIT_TYPE_DICT[f"int{pool_bit}"]
+            losses = []
+            for c in cand:
+                xq = fake_quant(c["x_s"], c["a_scale"], c["a_zp"], cfg.bit_a)
+                sw = c["wq"][bt.name]
+                w_fq = fake_quant(c["w_s"],
+                                  sw[:, None] if bt.name != "int8" else sw,
+                                  0.0, bt)
+                y = xq @ w_fq.T + b
+                losses.append(jnp.mean((c["gt"] - y) ** 2))
+            best.append(int(jnp.argmin(jnp.stack(losses))))
+
+    qp[f"{path}.sq.channel_scale"] = jnp.stack([cand[i]["ch"] for i in best])
+    qp[f"{path}.qact0.scale"] = jnp.stack([cand[i]["a_scale"] for i in best])
+    qp[f"{path}.qact0.zp"] = jnp.stack([cand[i]["a_zp"] for i in best])
+    for bt in CALIB_WEIGHT_BIT_TYPES:
+        qp[f"{path}.w.{bt.name}.scale"] = jnp.stack(
+            [cand[i]["wq"][bt.name] for i in best])
+    dist.append(cand[-1]["wdist"])
+    return cand[-1]["gt"]
+
+
+def calibrate(params, spec: ViTSpec, cfg: QuantConfig, x):
+    """Single-batch calibration pass.  Returns (qparams, global_distance):
+    qparams a flat {path: array} dict; global_distance a (4*depth+1, 4) array
+    of per-linear per-bit weight L2 errors in reference order
+    [uint3, uint4, int4, int8]."""
+    qp: dict = {}
+    dist: list = []
+    eps = spec.ln_eps
+    ob_ln = cfg.observer_a_ln
+
+    if spec.input_quant:
+        _calib_act_site(qp, "qact_input", x, cfg)
+    pe = params["patch_embed"]
+    patches = patchify(x, spec)
+    _calib_weight_site(qp, dist, "patch.w", pe["w"], patches, cfg,
+                       record_distance=False)
+    h = patches @ pe["w"].T + pe["b"]
+    _calib_act_site(qp, "patch.qact", h, cfg)
+
+    cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
+    h = jnp.concatenate([cls, h], axis=1)
+    _calib_act_site(qp, "qact_embed", h, cfg)
+    _calib_act_site(qp, "qact_pos", params["pos_embed"], cfg)
+    h = h + params["pos_embed"]
+    _calib_act_site(qp, "qact1", h, cfg, observer=ob_ln)
+
+    for i, blk in enumerate(params["blocks"]):
+        p = f"blocks.{i}"
+        # --- attention ---
+        y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+        qkv = _calib_smooth_linear(qp, dist, f"{p}.attn.qkv", y,
+                                   blk["qkv"]["w"], blk["qkv"]["b"], cfg,
+                                   cfg.alpha_pool)
+        qkv = _calib_act_site(qp, f"{p}.attn.qact1", qkv, cfg)
+
+        def lis_fn(a):
+            scale = act_qparams(cfg.observer_a, a, cfg.bit_a)[0]
+            qp[f"{p}.attn.qact_attn1.scale"] = scale
+            qp[f"{p}.attn.qact_attn1.zp"] = jnp.zeros_like(scale)
+            if cfg.lis:
+                return log_int_softmax(a, scale, cfg.bit_s)
+            return jax.nn.softmax(a, axis=-1)
+
+        y, _ = _sdpa(qkv, spec, lis_fn)
+        y = _calib_act_site(qp, f"{p}.attn.qact2", y, cfg)
+        _calib_weight_site(qp, dist, f"{p}.attn.proj.w", blk["proj"]["w"], y, cfg)
+        y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
+        _calib_act_site(qp, f"{p}.attn.qact3", y, cfg, observer=ob_ln)
+        h = h + y
+        _calib_act_site(qp, f"{p}.qact2", h, cfg, observer=ob_ln)
+
+        # --- mlp ---
+        y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+        y = _calib_smooth_linear(qp, dist, f"{p}.mlp.fc1", y,
+                                 blk["fc1"]["w"], blk["fc1"]["b"], cfg,
+                                 cfg.mlp_alpha_pool)
+        y = jax.nn.gelu(y, approximate=False)
+        y = _calib_act_site(qp, f"{p}.mlp.qact1", y, cfg)
+        _calib_weight_site(qp, dist, f"{p}.mlp.fc2.w", blk["fc2"]["w"], y, cfg)
+        y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
+        y = _calib_act_site(qp, f"{p}.mlp.qact2", y, cfg)
+        h = h + y
+        _calib_act_site(qp, f"{p}.qact4", h, cfg, observer=ob_ln)
+
+    h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
+    h = _calib_act_site(qp, "qact2", h, cfg)
+    _calib_weight_site(qp, dist, "head.w", params["head"]["w"], h, cfg)
+    logits = h @ params["head"]["w"].T + params["head"]["b"]
+    _calib_act_site(qp, "act_out", logits, cfg)
+
+    return qp, jnp.asarray(dist)
+
+
+# ---------------------------------------------------------------------------
+# Quantized forward
+# ---------------------------------------------------------------------------
+
+def _fq(qp, path, x, bit_type: BitType):
+    """Apply a QAct site: fake-quant with the stored scale/zp."""
+    return fake_quant(x, qp[f"{path}.scale"], qp[f"{path}.zp"], bit_type)
+
+
+def _q_weight(qp, path, w2d, bit: int):
+    """Quantize a weight with its per-bit calibrated PoT scale."""
+    bt = BIT_TYPE_DICT[f"int{bit}"]
+    s = qp[f"{path}.{bt.name}.scale"]
+    s = s[:, None] if s.ndim == 1 and s.shape[0] == w2d.shape[0] else s
+    return fake_quant(w2d, s, 0.0, bt)
+
+
+def _q_smooth_linear(qp, path, x, w, b, bit: int, cfg: QuantConfig):
+    """Quantized qkv/fc1: divide by the cached SmoothQuant channel scale,
+    fake-quant activation and smoothed weight at the bit-pool entry for
+    ``bit`` (vit_fquant.py:281-293).  bit == -1 -> FP (the reference's
+    recompute branch reduces to the plain linear since the channel scale
+    cancels)."""
+    if bit == -1:
+        return x @ w.T + b
+    if not cfg.smoothquant:
+        xq = _fq(qp, f"{path}.qact0", x, cfg.bit_a)
+        return xq @ _q_weight(qp, f"{path}.w", w, bit).T + b
+    idx = cfg.bit_pool.index(bit)
+    ch = qp[f"{path}.sq.channel_scale"][idx]
+    x_s = x / ch
+    xq = fake_quant(x_s, qp[f"{path}.qact0.scale"][idx],
+                    qp[f"{path}.qact0.zp"][idx], cfg.bit_a)
+    bt = BIT_TYPE_DICT[f"int{bit}"]
+    s = qp[f"{path}.w.{bt.name}.scale"][idx]
+    s = s[:, None] if s.ndim == 1 else s
+    wq = fake_quant(w * ch, s, 0.0, bt)
+    return xq @ wq.T + b
+
+
+def _q_norm(qp, x, ln, in_path, out_scale, out_ch, cfg: QuantConfig,
+            float_mode: bool, eps: float):
+    if float_mode or not cfg.int_norm:
+        return float_layernorm(x, ln["w"], ln["b"], eps)
+    return int_layernorm(x, ln["w"], ln["b"], qp[f"{in_path}.scale"],
+                         out_scale, out_scale_channel=out_ch)
+
+
+def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
+              bit_config=None, taps=None):
+    """Fully-quantized forward.  ``bit_config``: tuple of 4*depth+2 ints in
+    {4, 8, -1} (None -> all cfg.bit_w.bits, matching test_quant.py:412's
+    [4]*50 default).  Returns logits; FLOPs/global_distance companions are
+    static/calibration outputs (flops_list / calibrate)."""
+    if bit_config is None:
+        bit_config = (cfg.bit_w.bits,) * num_bit_slots(spec)
+    bit_config = tuple(int(v) for v in bit_config)
+    assert len(bit_config) == num_bit_slots(spec), (
+        f"bit_config needs {num_bit_slots(spec)} entries, got {len(bit_config)}")
+
+    def tap(name, t):
+        if taps is not None:
+            taps.append((name, t))
+
+    eps = spec.ln_eps
+    if spec.input_quant:
+        x = _fq(qp, "qact_input", x, cfg.bit_a)
+
+    pe = params["patch_embed"]
+    patches = patchify(x, spec)
+    pb = bit_config[0]
+    if pb == -1:
+        h = patches @ pe["w"].T + pe["b"]
+    else:
+        h = patches @ _q_weight(qp, "patch.w", pe["w"], pb).T + pe["b"]
+    tap("patch_embed.proj", h)
+    h = _fq(qp, "patch.qact", h, cfg.bit_a)
+
+    cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = _fq(qp, "qact_embed", h, cfg.bit_a)
+    h = h + _fq(qp, "qact_pos", params["pos_embed"], cfg.bit_a)
+    h = _fq(qp, "qact1", h, cfg.bit_a)
+
+    for i, blk in enumerate(params["blocks"]):
+        p = f"blocks.{i}"
+        b_qkv, b_proj, b_fc1, b_fc2 = bit_config[4 * i + 1: 4 * i + 5]
+        in_path = "qact1" if i == 0 else f"blocks.{i-1}.qact4"
+
+        # --- attention (vit_fquant.py:294-344) ---
+        attn_float_ln = (-1 in (b_qkv, b_proj))
+        if b_qkv == -1 or not cfg.smoothquant:
+            out_scale, out_ch = None, None
+        else:
+            idx = cfg.bit_pool.index(b_qkv)
+            out_scale = qp[f"{p}.attn.qkv.qact0.scale"][idx]
+            out_ch = qp[f"{p}.attn.qkv.sq.channel_scale"][idx]
+        y = _q_norm(qp, h, blk["norm1"], in_path,
+                    out_scale if out_scale is not None
+                    else qp.get(f"{p}.attn.qkv.qact0.scale"),
+                    out_ch, cfg, attn_float_ln, eps)
+        qkv = _q_smooth_linear(qp, f"{p}.attn.qkv", y, blk["qkv"]["w"],
+                               blk["qkv"]["b"], b_qkv, cfg)
+        tap(f"{p}.attn.qkv", qkv)
+        tap(f"{p}.attn", qkv)
+        qkv = _fq(qp, f"{p}.attn.qact1", qkv, cfg.bit_a)
+
+        def softmax_fn(a):
+            a = _fq(qp, f"{p}.attn.qact_attn1", a, cfg.bit_a)
+            if cfg.lis:
+                return log_int_softmax(a, qp[f"{p}.attn.qact_attn1.scale"],
+                                       cfg.bit_s)
+            return jax.nn.softmax(a, axis=-1)
+
+        y, _ = _sdpa(qkv, spec, softmax_fn)
+        y = _fq(qp, f"{p}.attn.qact2", y, cfg.bit_a)
+        if b_proj == -1:
+            y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
+        else:
+            y = y @ _q_weight(qp, f"{p}.attn.proj.w", blk["proj"]["w"],
+                              b_proj).T + blk["proj"]["b"]
+        tap(f"{p}.attn.proj", y)
+        y = _fq(qp, f"{p}.attn.qact3", y, cfg.bit_a)
+        h = _fq(qp, f"{p}.qact2", h + y, cfg.bit_a)
+
+        # --- mlp (layers_quant.py:202-351) ---
+        mlp_float_ln = (-1 in (b_fc1, b_fc2))
+        if b_fc1 == -1 or not cfg.smoothquant:
+            out_scale, out_ch = None, None
+        else:
+            idx = cfg.bit_pool.index(b_fc1)
+            out_scale = qp[f"{p}.mlp.fc1.qact0.scale"][idx]
+            out_ch = qp[f"{p}.mlp.fc1.sq.channel_scale"][idx]
+        y = _q_norm(qp, h, blk["norm2"], f"{p}.qact2",
+                    out_scale if out_scale is not None
+                    else qp.get(f"{p}.mlp.fc1.qact0.scale"),
+                    out_ch, cfg, mlp_float_ln, eps)
+        y = _q_smooth_linear(qp, f"{p}.mlp.fc1", y, blk["fc1"]["w"],
+                             blk["fc1"]["b"], b_fc1, cfg)
+        tap(f"{p}.mlp.fc1", y)
+        tap(f"{p}.mlp", y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = _fq(qp, f"{p}.mlp.qact1", y, cfg.bit_a)
+        if b_fc2 == -1:
+            y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
+        else:
+            y = y @ _q_weight(qp, f"{p}.mlp.fc2.w", blk["fc2"]["w"],
+                              b_fc2).T + blk["fc2"]["b"]
+        tap(f"{p}.mlp.fc2", y)
+        y = _fq(qp, f"{p}.mlp.qact2", y, cfg.bit_a)
+        h = _fq(qp, f"{p}.qact4", h + y, cfg.bit_a)
+
+    h = _q_norm(qp, h, params["norm"], f"blocks.{spec.depth-1}.qact4",
+                qp["qact2.scale"], None, cfg, False, eps)[:, 0]
+    h = _fq(qp, "qact2", h, cfg.bit_a)
+    hb = bit_config[-1]
+    if hb == -1:
+        logits = h @ params["head"]["w"].T + params["head"]["b"]
+    else:
+        logits = h @ _q_weight(qp, "head.w", params["head"]["w"], hb).T \
+            + params["head"]["b"]
+    tap("head", logits)
+    return _fq(qp, "act_out", logits, cfg.bit_a)

@@ -1,0 +1,90 @@
+"""End-to-end smoke tests: FP forward, calibration, quantized forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffvit_tpu.config import QuantConfig
+from diffvit_tpu.models import vit
+
+
+TINY = vit.ViTSpec("test_tiny", embed_dim=64, depth=2, num_heads=2,
+                   num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    key = jax.random.PRNGKey(0)
+    params = vit.init_params(TINY, key)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 224, 224))
+    return params, x
+
+
+def test_forward_fp_shape(setup):
+    params, x = setup
+    logits = vit.forward_fp(params, TINY, x)
+    assert logits.shape == (4, 10)
+    assert np.all(np.isfinite(logits))
+
+
+def test_forward_fp_taps(setup):
+    params, x = setup
+    taps = []
+    vit.forward_fp(params, TINY, x, taps=taps)
+    names = [n for n, _ in taps]
+    assert "patch_embed.proj" in names
+    assert "blocks.0.attn.qkv" in names
+    assert "blocks.1.mlp.fc2" in names
+    assert "head" in names
+    # 1 patch + 6 per block * depth + 1 head
+    assert len(taps) == 1 + 6 * TINY.depth + 1
+
+
+def test_calibrate_and_forward_q(setup):
+    params, x = setup
+    cfg = QuantConfig()
+    qp, dist = vit.calibrate(params, TINY, cfg, x)
+    # global_distance: 4*depth+1 linears x 4 bit types
+    assert dist.shape == (4 * TINY.depth + 1, 4)
+    assert np.all(np.isfinite(dist))
+
+    fp = vit.forward_fp(params, TINY, x)
+    for bits in (4, 8):
+        bc = (bits,) * vit.num_bit_slots(TINY)
+        q = vit.forward_q(params, qp, TINY, cfg, x, bc)
+        assert q.shape == fp.shape
+        assert np.all(np.isfinite(q))
+        # int8 should track FP closely on random data; int4 loosely
+        rel = np.linalg.norm(q - fp) / (np.linalg.norm(fp) + 1e-9)
+        assert rel < (0.5 if bits == 8 else 2.0), (bits, rel)
+
+
+def test_forward_q_minus_one_is_fp_like(setup):
+    """bit -1 on every layer + ptf off + lis off == (close to) FP forward."""
+    params, x = setup
+    cfg = QuantConfig(ptf=False, lis=False)
+    qp, _ = vit.calibrate(params, TINY, cfg, x)
+    bc = (-1,) * vit.num_bit_slots(TINY)
+    q = vit.forward_q(params, qp, TINY, cfg, x, bc)
+    fp = vit.forward_fp(params, TINY, x)
+    # activations still fake-quantized (QActs always fire once quantized),
+    # so allow a loose int8-level tolerance
+    rel = np.linalg.norm(q - fp) / np.linalg.norm(fp)
+    assert rel < 0.5, rel
+
+
+def test_flops_list(setup):
+    fl = vit.flops_list(TINY)
+    assert len(fl) == vit.num_bit_slots(TINY)
+    n, c = TINY.seq_len, TINY.embed_dim
+    assert fl[1] == n * c * 3 * c
+    assert fl[-1] == c * TINY.num_classes
+
+
+def test_bit_config_mixed(setup):
+    params, x = setup
+    cfg = QuantConfig()
+    qp, _ = vit.calibrate(params, TINY, cfg, x)
+    bc = [8] + [4, 8] * (2 * TINY.depth) + [8]
+    q = vit.forward_q(params, qp, TINY, cfg, x, tuple(bc))
+    assert np.all(np.isfinite(q))
