@@ -1,0 +1,125 @@
+"""Coarse-to-fine mixed-precision (4/8-bit) assignment.
+
+Rebuild of the search drivers in /root/reference/test_quant.py:253-407:
+
+1. **Candidate sampling under a size constraint** (``:262-283``): random
+   4/8 configs, pairs of consecutive layers share a bit, first layer pinned
+   to 8; keep configs whose FLOPs-weighted size <= 1.1x the all-4-bit size,
+   up to 51 unique candidates.
+2. **Omega ranking** (``:287-315``): omega = sum_i hessian_i * distance_i
+   where distance_i is the calibrated per-bit weight L2 error
+   (global_distance) for the bit chosen at layer i; validate the top 5.
+3. **Evolutionary search** (``:336-407``): population 25 seeded from the
+   omega ranking, 8 iterations of 10 mutations (p=.5) + 10 crossovers
+   (p=.5) under the same size constraint, selection by validated top-1.
+
+The evaluation callback is injected, so the embarrassingly-parallel
+candidate evals can be fanned out over a device mesh by the caller.
+"""
+from __future__ import annotations
+
+import random as _random
+
+import numpy as np
+
+BIT_CHOICE = (4, 8)
+# distance column index per eval bit: global_distance rows are ordered
+# [uint3, uint4, int4, int8] (models/ptq/layers.py:151-170)
+_DIST_COL = {4: 2, 8: 3}
+
+
+def model_size(flops, bit_config):
+    return sum(f * b for f, b in zip(flops, bit_config))
+
+
+def size_constraint(flops, factor=1.1):
+    return factor * sum(f * 4 for f in flops)
+
+
+def sample_candidates(flops, rng, max_candidates=51, factor=1.1):
+    """test_quant.py:264-283.  Layout: [8] + each random bit doubled +
+    [random] — consecutive (qkv,proj) / (fc1,fc2) pairs share a bit."""
+    constraint = size_constraint(flops, factor)
+    bit_list = []
+    for _ in range(2 ** min(len(flops) - 1, 30)):
+        inner = [rng.choice(BIT_CHOICE) for _ in range(len(flops) // 2 - 1)]
+        cand = [max(BIT_CHOICE)] + [b for b in inner for _ in range(2)] \
+            + [rng.choice(BIT_CHOICE)]
+        if model_size(flops, cand) <= constraint and cand not in bit_list:
+            bit_list.append(cand)
+        if len(bit_list) > max_candidates - 1:
+            break
+    return bit_list
+
+
+def omega_rank(bit_list, flops, mean_hessian, global_distance):
+    """test_quant.py:287-315: score = sum over non-patch layers of
+    hessian * selected-bit distance; ascending sort (lower = better).
+    global_distance: (len(flops)-1, 4) array from calibrate()."""
+    gd = np.asarray(global_distance)
+    omega_list = []
+    for cand in bit_list:
+        omega = 0.0
+        for i, bit in enumerate(cand):
+            if i == 0:
+                continue  # patch conv has no distance entry
+            omega += mean_hessian[i - 1] * gd[i - 1, _DIST_COL[bit]]
+        omega_list.append([cand, float(omega)])
+    omega_list.sort(key=lambda x: x[-1])
+    return omega_list
+
+
+def evolutionary_search(omega_list, flops, evaluate, *, pop_size=25,
+                        evo_iter=8, mutate_size=10, mutate_prob=0.5,
+                        crossover_size=10, crossover_prob=0.5, factor=1.1,
+                        rng=None, log=print):
+    """test_quant.py:336-407.  ``evaluate(bit_config) -> top1``; returns the
+    final population [[bit_config, top1], ...] best-first."""
+    rng = rng or _random.Random(0)
+    constraint = size_constraint(flops, factor)
+
+    parent_popu = []
+    for i in range(min(pop_size, len(omega_list))):
+        cand = omega_list[i][0]
+        parent_popu.append([cand, evaluate(cand)])
+    parent_popu.sort(key=lambda x: x[-1], reverse=True)
+
+    val_prec1 = parent_popu[0][1] if parent_popu else 0.0
+    for evo in range(evo_iter):
+        children = []
+
+        mutate_list = []
+        while True:
+            old = rng.choice(parent_popu)[0]
+            new = [b if rng.random() < mutate_prob else rng.choice(BIT_CHOICE)
+                   for b in old]
+            if model_size(flops, new) <= constraint and new not in mutate_list:
+                val_prec1 = evaluate(new)
+            mutate_list.append(new)
+            children.append([new, val_prec1])
+            if len(mutate_list) > mutate_size:
+                break
+
+        crossover_list = []
+        while True:
+            p1 = rng.choice(parent_popu)[0]
+            p2 = rng.choice(parent_popu)[0]
+            if p1 == p2:
+                continue
+            new = [b1 if rng.random() < crossover_prob else b2
+                   for b1, b2 in zip(p1, p2)]
+            if model_size(flops, new) <= constraint and new not in crossover_list:
+                val_prec1 = evaluate(new)
+            crossover_list.append(new)
+            children.append([new, val_prec1])
+            if len(crossover_list) > crossover_size:
+                break
+
+        for child in children:
+            if child[1] > parent_popu[-1][1]:
+                parent_popu.append(child)
+        parent_popu.sort(key=lambda x: x[-1], reverse=True)
+        parent_popu = parent_popu[:pop_size]
+        log(f"Evolutionary iteration: {evo}")
+        log(str(parent_popu))
+    return parent_popu

@@ -240,3 +240,25 @@ def act_qparams(observer: str, x, bit_type: BitType, attn_replay=None):
     if observer == "minmax":
         return minmax_act_qparams(x, bit_type, attn_replay=attn_replay)
     return ACT_OBSERVERS[observer](x, bit_type)
+
+
+# Jitted entry points: calibration is orchestrated eagerly at the model level
+# so that the 12 structurally-identical blocks reuse one compiled kernel per
+# (site shape, observer, bit type) instead of tracing a monolithic graph —
+# this cuts full-model calibration compile time from minutes to seconds.
+minmax_weight_qparams = jax.jit(
+    minmax_weight_qparams, static_argnames=("bit_type", "channel_wise"))
+minmax_act_qparams = jax.jit(
+    minmax_act_qparams, static_argnames=("bit_type", "attn_replay"))
+ema_act_qparams = jax.jit(ema_act_qparams, static_argnames=("bit_type",))
+omse_act_qparams = jax.jit(omse_act_qparams, static_argnames=("bit_type",))
+percentile_act_qparams = jax.jit(
+    percentile_act_qparams, static_argnames=("bit_type", "alpha"))
+ptf_act_qparams = jax.jit(ptf_act_qparams, static_argnames=("bit_type",))
+ACT_OBSERVERS = {
+    "minmax": minmax_act_qparams,
+    "ema": ema_act_qparams,
+    "omse": omse_act_qparams,
+    "percentile": percentile_act_qparams,
+    "ptf": ptf_act_qparams,
+}

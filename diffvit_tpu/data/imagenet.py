@@ -1,0 +1,125 @@
+"""ImageNet data pipeline with torchvision-parity preprocessing.
+
+Rebuild of the reference's loader stack (test_quant.py:115-144,504-534):
+Resize(shorter side = input/crop_pct, bicubic) -> CenterCrop(input) ->
+ToTensor -> Normalize, implemented directly on PIL (torchvision semantics,
+validated against PIL's resize convention) and batched with a thread pool.
+Output layout is NCHW float32 to match the model input contract.
+"""
+from __future__ import annotations
+
+import concurrent.futures as cf
+import math
+import os
+
+import numpy as np
+from PIL import Image
+
+IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
+
+
+def build_transform(input_size=224, interpolation="bicubic",
+                    mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+                    crop_pct=0.875):
+    """Returns fn(PIL.Image) -> float32 CHW array, matching
+    test_quant.py:504-534 / torchvision Resize+CenterCrop+ToTensor+Normalize."""
+    size = int(math.floor(input_size / crop_pct))
+    resample = {
+        "bicubic": Image.BICUBIC,
+        "lanczos": Image.LANCZOS,
+        "hamming": Image.HAMMING,
+        "bilinear": Image.BILINEAR,
+    }[interpolation]
+    mean = np.asarray(mean, np.float32).reshape(3, 1, 1)
+    std = np.asarray(std, np.float32).reshape(3, 1, 1)
+
+    def transform(img: Image.Image):
+        img = img.convert("RGB")
+        w, h = img.size
+        # torchvision Resize(int): scale shorter side to `size`, keep ratio
+        if w <= h:
+            ow, oh = size, max(1, int(round(size * h / w)))
+        else:
+            oh, ow = size, max(1, int(round(size * w / h)))
+        if (ow, oh) != (w, h):
+            img = img.resize((ow, oh), resample)
+        # CenterCrop(input_size) — torchvision rounding convention
+        left = int(round((ow - input_size) / 2.0))
+        top = int(round((oh - input_size) / 2.0))
+        img = img.crop((left, top, left + input_size, top + input_size))
+        arr = np.asarray(img, np.uint8).astype(np.float32) / 255.0
+        arr = arr.transpose(2, 0, 1)  # HWC -> CHW
+        return (arr - mean) / std
+
+    return transform
+
+
+class ImageFolder:
+    """Minimal torchvision.datasets.ImageFolder equivalent: classes =
+    sorted subdirectories, samples sorted within class."""
+
+    def __init__(self, root, transform):
+        self.root = root
+        self.transform = transform
+        self.classes = sorted(
+            d for d in os.listdir(root)
+            if os.path.isdir(os.path.join(root, d)))
+        self.class_to_idx = {c: i for i, c in enumerate(self.classes)}
+        self.samples = []
+        for c in self.classes:
+            cdir = os.path.join(root, c)
+            for fn in sorted(os.listdir(cdir)):
+                if fn.lower().endswith(IMG_EXTENSIONS):
+                    self.samples.append((os.path.join(cdir, fn),
+                                         self.class_to_idx[c]))
+
+    def __len__(self):
+        return len(self.samples)
+
+    def __getitem__(self, i):
+        path, label = self.samples[i]
+        with Image.open(path) as img:
+            return self.transform(img), label
+
+
+class DataLoader:
+    """Threaded batcher: yields (images NCHW float32, labels int32) numpy
+    batches.  Decode/preprocess runs in a thread pool and prefetches the
+    next batch while the accelerator consumes the current one."""
+
+    def __init__(self, dataset, batch_size, shuffle=False, num_workers=16,
+                 drop_last=False, seed=0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.seed = seed
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(
+            n / self.batch_size)
+
+    def _load(self, idx):
+        img, label = self.dataset[idx]
+        return img, label
+
+    def __iter__(self):
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+        nb = len(self)
+        with cf.ThreadPoolExecutor(self.num_workers) as pool:
+            def submit(bi):
+                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                return [pool.submit(self._load, i) for i in idxs]
+
+            pending = submit(0) if nb else None
+            for bi in range(nb):
+                futs = pending
+                pending = submit(bi + 1) if bi + 1 < nb else None
+                out = [f.result() for f in futs]
+                imgs = np.stack([o[0] for o in out])
+                labels = np.asarray([o[1] for o in out], np.int32)
+                yield imgs, labels

@@ -1,0 +1,36 @@
+"""Synthetic data backends.
+
+* ``gaussian_calibration`` — the reference's --mode 1 calibration source
+  (test_quant.py:214-220): pure Gaussian noise, no dataset required.
+* ``make_fake_imagefolder`` — a tiny on-disk ImageFolder for hermetic
+  integration tests (SURVEY.md §4's suggested fake backend): each class is a
+  distinct color blob + noise so even a random-ish model can overfit/separate.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from PIL import Image
+
+
+def gaussian_calibration(batch_size: int, seed: int = 0, input_size: int = 224):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal(
+        (batch_size, 3, input_size, input_size)).astype(np.float32)
+
+
+def make_fake_imagefolder(root, num_classes=4, per_class=8, size=224, seed=0):
+    """Write a deterministic fake ImageFolder tree under ``root``."""
+    rng = np.random.default_rng(seed)
+    base_colors = rng.integers(0, 255, size=(num_classes, 3))
+    for c in range(num_classes):
+        cdir = os.path.join(root, f"class_{c:03d}")
+        os.makedirs(cdir, exist_ok=True)
+        for i in range(per_class):
+            img = np.clip(
+                base_colors[c][None, None, :]
+                + rng.normal(0, 40, size=(size, size, 3)), 0, 255
+            ).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(cdir, f"img_{i:04d}.jpg"))
+    return root

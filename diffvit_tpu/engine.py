@@ -1,0 +1,122 @@
+"""High-level engine: build → calibrate → validate, with jit caching per
+bit_config and optional device-mesh sharding.
+
+This is the functional replacement for the reference's mutable model + mode
+flags: a ``QuantizedViT`` owns the param/qparam pytrees and hands out jitted
+forward functions; ``validate`` reproduces test_quant.py:418-466's loop and
+Prec@1/Prec@5 reporting.
+"""
+from __future__ import annotations
+
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import QuantConfig
+from .models import vit as vit_mod
+from .models.registry import build_params, get_spec
+from .utils.metrics import AverageMeter, accuracy, cross_entropy
+from .parallel import mesh as mesh_mod
+
+
+class QuantizedViT:
+    """Calibratable quantized ViT/DeiT with compiled-forward caching.
+
+    Each distinct (bit_config, quantized?) pair traces once; subsequent
+    batches reuse the compiled executable (SURVEY.md §7 design point 4).
+    """
+
+    def __init__(self, name_or_spec, cfg: QuantConfig | None = None,
+                 params=None, checkpoint=None, mesh=None, seed: int = 0):
+        if isinstance(name_or_spec, str):
+            self.spec, loaded = build_params(name_or_spec, checkpoint, seed)
+            params = params if params is not None else loaded
+        else:
+            self.spec = name_or_spec
+            assert params is not None
+        self.cfg = cfg or QuantConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            params = mesh_mod.shard_params(mesh, params)
+        self.params = params
+        self.qparams = None
+        self.global_distance = None
+        self._jit_cache = {}
+
+    # -- calibration ------------------------------------------------------
+    def calibrate(self, batch):
+        """Single-batch calibration (test_quant.py:234-249)."""
+        batch = jnp.asarray(batch)
+        # Eager orchestration over jitted per-site primitives: identical
+        # block shapes share compiled kernels (see calib/observers.py).
+        qp, dist = vit_mod.calibrate(self.params, self.spec, self.cfg, batch)
+        if self.mesh is not None:
+            qp = mesh_mod.shard_replicated(self.mesh, qp)
+        self.qparams = jax.tree.map(lambda a: a, qp)
+        self.global_distance = np.asarray(dist)
+        return self.qparams
+
+    # -- forwards ---------------------------------------------------------
+    def _forward_fn(self, quant: bool, bit_config):
+        key = (quant, bit_config)
+        if key not in self._jit_cache:
+            if quant:
+                fn = partial(vit_mod.forward_q, spec=self.spec, cfg=self.cfg,
+                             bit_config=bit_config)
+                jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=x))
+            else:
+                fn = partial(vit_mod.forward_fp, spec=self.spec)
+                jfn = jax.jit(lambda p, qp, x: fn(p, x=x))
+            self._jit_cache[key] = jfn
+        return self._jit_cache[key]
+
+    def __call__(self, x, bit_config=None, quant=True):
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            x = jax.device_put(x, mesh_mod.batch_sharding(self.mesh))
+        if quant and self.qparams is None:
+            raise RuntimeError("model not calibrated; call .calibrate() first")
+        if quant and bit_config is None:
+            bit_config = (self.cfg.bit_w.bits,) * vit_mod.num_bit_slots(self.spec)
+        if bit_config is not None:
+            bit_config = tuple(int(b) for b in bit_config)
+        fn = self._forward_fn(quant, bit_config)
+        return fn(self.params, self.qparams, x)
+
+    @property
+    def flops(self):
+        return vit_mod.flops_list(self.spec)
+
+
+def validate(model: QuantizedViT, loader, bit_config=None, quant=True,
+             print_freq=100, log=print):
+    """Full validation epoch with the reference's progress/report format
+    (test_quant.py:418-466).  Returns (loss_avg, prec1_avg, prec5_avg)."""
+    batch_time, losses = AverageMeter(), AverageMeter()
+    top1, top5 = AverageMeter(), AverageMeter()
+    val_start = end = time.time()
+    n_batches = len(loader) if hasattr(loader, "__len__") else None
+    for i, (data, target) in enumerate(loader):
+        output = np.asarray(model(data, bit_config=bit_config, quant=quant))
+        loss = cross_entropy(output, target)
+        prec1, prec5 = accuracy(output, target, topk=(1, 5))
+        n = len(target)
+        losses.update(loss, n)
+        top1.update(prec1, n)
+        top5.update(prec5, n)
+        batch_time.update(time.time() - end)
+        end = time.time()
+        if print_freq and i % print_freq == 0:
+            log("Test: [{0}/{1}]\t"
+                "Time {bt.val:.3f} ({bt.avg:.3f})\t"
+                "Loss {loss.val:.4f} ({loss.avg:.4f})\t"
+                "Prec@1 {top1.val:.3f} ({top1.avg:.3f})\t"
+                "Prec@5 {top5.val:.3f} ({top5.avg:.3f})".format(
+                    i, n_batches if n_batches is not None else "?",
+                    bt=batch_time, loss=losses, top1=top1, top5=top5))
+    log(" * Prec@1 {top1.avg:.3f} Prec@5 {top5.avg:.3f} Time {t:.3f}".format(
+        top1=top1, top5=top5, t=time.time() - val_start))
+    return losses.avg, top1.avg, top5.avg

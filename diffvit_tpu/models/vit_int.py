@@ -1,0 +1,315 @@
+"""Integer execution path: real int8/int4 matmuls instead of fake-quant.
+
+The reference simulates quantization — fp32 matmuls over
+quantize/dequantized values (quantizer/base.py:42-45); there are no integer
+kernels anywhere in it (SURVEY.md §0).  This module is the TPU-native
+"exceed the reference" layer: ``prepare_int`` bakes the calibrated
+QuantParams + a static bit_config into integer weights and PoT requant
+scales, and ``forward_q_int`` runs the whole network on the MXU's native
+int8×int8→int32 path:
+
+* weights are stored as int8 (int4 values live in [-8,7] within int8 lanes —
+  the MXU consumes int8 operands either way; bit-packing is an HBM
+  bandwidth optimization handled by the Pallas kernels),
+* integer LayerNorm emits int8 directly on the consumer's
+  (channel_scale × act_scale) grid, so the qkv/fc1 matmul needs no separate
+  activation-quantize pass,
+* attention runs q/k/v as int8 on the qact1 grid; Log-Int-Softmax consumes
+  the integer attention scores directly and its 2^-q outputs are exact in
+  bfloat16, so attn@v is a bf16 MXU matmul with f32 accumulation (exact:
+  products and partial sums stay below 2^24),
+* every requant is round(int32_acc * 2^k) — the PoT shift the P2-ViT paper
+  builds silicon for; XLA fuses these epilogues into the matmuls.
+
+Numerical contract: identical to forward_q up to f32 accumulation order
+(int32 accumulation is exact where fake-quant sums in f32), verified by
+tests/test_int_path.py.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import QuantConfig
+from ..ops.bit_types import BIT_TYPE_DICT
+from ..ops.int_layernorm import float_layernorm, get_mn
+from ..ops.lis import log_int_softmax_from_int
+from ..ops.quant import fake_quant
+from .vit import ViTSpec, num_bit_slots, patchify
+
+I8 = jnp.int8
+I32 = jnp.int32
+
+
+def _quant_w(w, scale, bit):
+    """weight -> integer codes held in int8."""
+    bt = BIT_TYPE_DICT[f"int{bit}"]
+    s = scale[:, None] if scale.ndim == 1 else scale
+    q = jnp.clip(jnp.round(w / s), bt.lower_bound, bt.upper_bound)
+    return q.astype(I8)
+
+
+def _requant_i8(y, scale, lb=-128, ub=127):
+    """f32 -> int8 codes on ``scale`` grid."""
+    return jnp.clip(jnp.round(y / scale), lb, ub).astype(I8)
+
+
+def _int_dot(x_i8, w_i8_t):
+    """(.., K) int8 @ (K, N) int8 -> int32 on the MXU."""
+    return jax.lax.dot_general(
+        x_i8, w_i8_t, (((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=I32)
+
+
+def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
+    """Bake (params, qparams, bit_config) into an integer-model pytree.
+    Host-side, run once per bit_config.  -1 layers keep their f32 weights."""
+    if bit_config is None:
+        bit_config = (cfg.bit_w.bits,) * num_bit_slots(spec)
+    bit_config = tuple(int(v) for v in bit_config)
+
+    ip = {"bit_config": bit_config, "blocks": []}
+
+    def qscale(path):
+        return qp[f"{path}.scale"]
+
+    # patch conv
+    pb = bit_config[0]
+    pe = params["patch_embed"]
+    if pb == -1:
+        ip["patch"] = {"w": pe["w"], "b": pe["b"], "fp": True}
+    elif not spec.input_quant:
+        # no input QAct (vit_large): the conv input is unquantized f32, so
+        # only the weight is quantized — run a f32 matmul on the
+        # dequantized weight, exactly like forward_q
+        bt = BIT_TYPE_DICT[f"int{pb}"]
+        sw = qp[f"patch.w.int{pb}.scale"]
+        s = sw[:, None] if sw.ndim == 1 else sw
+        ip["patch"] = {"w": fake_quant(pe["w"], s, 0.0, bt), "b": pe["b"],
+                       "fp": True}
+    else:
+        sw = qp[f"patch.w.int{pb}.scale"]
+        ip["patch"] = {
+            "w_int": _quant_w(pe["w"], sw, pb).T,
+            "b": pe["b"], "fp": False,
+            # out mult (Cout,) or scalar: s_in * s_w
+            "mult": qscale("qact_input") * sw,
+        }
+    for k in ("qact_input", "patch.qact", "qact_embed", "qact_pos", "qact1",
+              "qact2", "act_out"):
+        if k == "qact_input" and not spec.input_quant:
+            continue
+        ip[k] = {"scale": qscale(k), "zp": qp[f"{k}.zp"]}
+    ip["cls_token"] = params["cls_token"]
+    ip["pos_embed"] = params["pos_embed"]
+    ip["norm"] = params["norm"]
+
+    for i, blk in enumerate(params["blocks"]):
+        p = f"blocks.{i}"
+        b_qkv, b_proj, b_fc1, b_fc2 = bit_config[4 * i + 1: 4 * i + 5]
+        ib = {"norm1": blk["norm1"], "norm2": blk["norm2"]}
+
+        def smooth_site(path, lin, bit):
+            if bit == -1:
+                return {"w": lin["w"], "b": lin["b"], "fp": True}
+            if cfg.smoothquant:
+                idx = cfg.bit_pool.index(bit)
+                ch = qp[f"{path}.sq.channel_scale"][idx]
+                s_x = qp[f"{path}.qact0.scale"][idx]
+                sw = qp[f"{path}.w.int{bit}.scale"][idx]
+                w_s = lin["w"] * ch
+            else:
+                ch = 1.0
+                s_x = qp[f"{path}.qact0.scale"]
+                sw = qp[f"{path}.w.int{bit}.scale"]
+                w_s = lin["w"]
+            return {
+                "w_int": _quant_w(w_s, sw, bit).T,  # (Cin, Cout)
+                "b": lin["b"], "fp": False,
+                "in_scale": ch * s_x,     # per-channel input quant grid
+                "mult": s_x * sw,         # int32 -> f32 output multiplier
+            }
+
+        def plain_site(path, lin, bit, in_scale):
+            if bit == -1:
+                return {"w": lin["w"], "b": lin["b"], "fp": True}
+            sw = qp[f"{path}.int{bit}.scale"]
+            return {"w_int": _quant_w(lin["w"], sw, bit).T,
+                    "b": lin["b"], "fp": False, "mult": in_scale * sw}
+
+        ib["qkv"] = smooth_site(f"{p}.attn.qkv", blk["qkv"], b_qkv)
+        ib["proj"] = plain_site(f"{p}.attn.proj.w", blk["proj"], b_proj,
+                                qscale(f"{p}.attn.qact2"))
+        ib["fc1"] = smooth_site(f"{p}.mlp.fc1", blk["fc1"], b_fc1)
+        ib["fc2"] = plain_site(f"{p}.mlp.fc2.w", blk["fc2"], b_fc2,
+                               qscale(f"{p}.mlp.qact1"))
+        for k in ("attn.qact1", "attn.qact_attn1", "attn.qact2", "attn.qact3",
+                  "qact2", "mlp.qact1", "mlp.qact2", "qact4"):
+            ib[k] = {"scale": qscale(f"{p}.{k}"), "zp": qp[f"{p}.{k}.zp"]}
+        ip["blocks"].append(ib)
+
+    hb = bit_config[-1]
+    if hb == -1:
+        ip["head"] = {"w": params["head"]["w"], "b": params["head"]["b"],
+                      "fp": True}
+    else:
+        sw = qp[f"head.w.int{hb}.scale"]
+        ip["head"] = {"w_int": _quant_w(params["head"]["w"], sw, hb).T,
+                      "b": params["head"]["b"], "fp": False,
+                      "mult": qscale("qact2") * sw}
+    return ip
+
+
+def _ln_int8(x, ln, in_scale, out_scale_vec, eps, a_bits=8):
+    """Integer LayerNorm emitting int8 codes on ``out_scale_vec`` grid —
+    the M·2^-N math of ops/int_layernorm.int_layernorm with the final
+    dequant folded away."""
+    c = x.shape[-1]
+    in_scale = jnp.broadcast_to(jnp.asarray(in_scale), (c,))
+    out_scale = jnp.broadcast_to(jnp.asarray(out_scale_vec), (c,))
+    x_q = jnp.round(x / in_scale)
+    in_scale1 = jnp.min(in_scale)
+    x_q = x_q * jnp.round(in_scale / in_scale1)
+    sum_x = jnp.sum(x_q, axis=-1)
+    sum_x2 = jnp.sum(x_q * x_q, axis=-1)
+    mean = (sum_x / c) * in_scale1
+    std = (in_scale1 / c) * jnp.sqrt(c * sum_x2 - sum_x**2)
+    a = (in_scale1 / std)[..., None] * ln["w"] / out_scale
+    m, n = get_mn(jnp.abs(a))
+    b = jnp.round((ln["b"] - (mean / std)[..., None] * ln["w"])
+                  / out_scale * (2.0**n))
+    y = jnp.round((jnp.sign(a) * m * x_q + b) / (2.0**n))
+    lb, ub = -(2 ** (a_bits - 1)), 2 ** (a_bits - 1) - 1
+    return jnp.clip(y, lb, ub).astype(I8)
+
+
+def _fq_site(site, x, bt):
+    return fake_quant(x, site["scale"], site["zp"], bt)
+
+
+def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x):
+    """Integer forward pass over a prepared int-model pytree."""
+    bt_a = cfg.bit_a
+    eps = spec.ln_eps
+    B = x.shape[0]
+    h_dim, n_heads = spec.head_dim, spec.num_heads
+
+    if spec.input_quant:
+        x = _fq_site(ip["qact_input"], x, bt_a)
+    patches = patchify(x, spec)
+    pt = ip["patch"]
+    if pt["fp"]:
+        h = patches @ pt["w"].T + pt["b"]
+    else:
+        p_int = _requant_i8(patches, ip["qact_input"]["scale"])
+        h = _int_dot(p_int, pt["w_int"]).astype(jnp.float32) * pt["mult"] + pt["b"]
+    h = _fq_site(ip["patch.qact"], h, bt_a)
+
+    cls = jnp.broadcast_to(ip["cls_token"], (B, 1, spec.embed_dim))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = _fq_site(ip["qact_embed"], h, bt_a)
+    h = h + _fq_site(ip["qact_pos"], ip["pos_embed"], bt_a)
+    h = _fq_site(ip["qact1"], h, bt_a)
+
+    bc = ip["bit_config"]
+    for i, ib in enumerate(ip["blocks"]):
+        b_qkv, b_proj, b_fc1, b_fc2 = bc[4 * i + 1: 4 * i + 5]
+        in_scale = ip["qact1"]["scale"] if i == 0 \
+            else ip["blocks"][i - 1]["qact4"]["scale"]
+
+        # ---- attention ----
+        qkv_site = ib["qkv"]
+        if qkv_site["fp"]:
+            y = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
+            y = y @ qkv_site["w"].T + qkv_site["b"]
+        else:
+            if cfg.int_norm and b_proj != -1:
+                x_i8 = _ln_int8(h, ib["norm1"], in_scale, qkv_site["in_scale"], eps)
+            else:
+                y = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
+                x_i8 = _requant_i8(y, qkv_site["in_scale"])
+            y = _int_dot(x_i8, qkv_site["w_int"]).astype(jnp.float32) \
+                * qkv_site["mult"] + qkv_site["b"]
+
+        s1 = ib["attn.qact1"]["scale"]
+        qkv_i8 = _requant_i8(y, s1)
+        N = qkv_i8.shape[1]
+        qkv_i8 = qkv_i8.reshape(B, N, 3, n_heads, h_dim).transpose(2, 0, 3, 1, 4)
+        q8, k8, v8 = qkv_i8[0], qkv_i8[1], qkv_i8[2]
+        a32 = jax.lax.dot_general(
+            q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=I32)
+        s_a = ib["attn.qact_attn1"]["scale"]
+        bt_s = cfg.bit_s
+        a_int = jnp.clip(
+            jnp.round(a32.astype(jnp.float32)
+                      * (s1 * s1 * spec.attn_scale / s_a)),
+            bt_a.lower_bound, bt_a.upper_bound)
+        if cfg.lis:
+            attn = log_int_softmax_from_int(a_int, s_a, bt_s).astype(jnp.bfloat16)
+        else:
+            attn = jax.nn.softmax(a_int * s_a, axis=-1).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            attn, v8.astype(jnp.bfloat16), (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, spec.embed_dim) * s1
+
+        s2 = ib["attn.qact2"]["scale"]
+        proj_site = ib["proj"]
+        if proj_site["fp"]:
+            y = _fq_site(ib["attn.qact2"], o, bt_a)
+            y = y @ proj_site["w"].T + proj_site["b"]
+        else:
+            o_i8 = _requant_i8(o, s2)
+            y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
+                * proj_site["mult"] + proj_site["b"]
+        y = _fq_site(ib["attn.qact3"], y, bt_a)
+        h = _fq_site(ib["qact2"], h + y, bt_a)
+
+        # ---- mlp ----
+        fc1_site = ib["fc1"]
+        if fc1_site["fp"]:
+            y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
+            y = y @ fc1_site["w"].T + fc1_site["b"]
+        else:
+            if cfg.int_norm and b_fc2 != -1:
+                x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
+                                fc1_site["in_scale"], eps)
+            else:
+                y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
+                x_i8 = _requant_i8(y, fc1_site["in_scale"])
+            y = _int_dot(x_i8, fc1_site["w_int"]).astype(jnp.float32) \
+                * fc1_site["mult"] + fc1_site["b"]
+        y = jax.nn.gelu(y, approximate=False)
+        fc2_site = ib["fc2"]
+        if fc2_site["fp"]:
+            y = _fq_site(ib["mlp.qact1"], y, bt_a)
+            y = y @ fc2_site["w"].T + fc2_site["b"]
+        else:
+            y_i8 = _requant_i8(y, ib["mlp.qact1"]["scale"])
+            y = _int_dot(y_i8, fc2_site["w_int"]).astype(jnp.float32) \
+                * fc2_site["mult"] + fc2_site["b"]
+        y = _fq_site(ib["mlp.qact2"], y, bt_a)
+        h = _fq_site(ib["qact4"], h + y, bt_a)
+
+    # final norm -> cls token -> head
+    last_scale = ip["blocks"][-1]["qact4"]["scale"]
+    head = ip["head"]
+    if cfg.int_norm:
+        s_out = ip["qact2"]["scale"]
+        h_i8 = _ln_int8(h, ip["norm"], last_scale, s_out, eps)[:, 0]
+        if head["fp"]:
+            logits = (h_i8.astype(jnp.float32) * s_out) @ head["w"].T + head["b"]
+        else:
+            logits = _int_dot(h_i8, head["w_int"]).astype(jnp.float32) \
+                * head["mult"] + head["b"]
+    else:
+        hf = float_layernorm(h, ip["norm"]["w"], ip["norm"]["b"], eps)[:, 0]
+        hf = _fq_site(ip["qact2"], hf, bt_a)
+        if head["fp"]:
+            logits = hf @ head["w"].T + head["b"]
+        else:
+            h_i8 = _requant_i8(hf, ip["qact2"]["scale"])
+            logits = _int_dot(h_i8, head["w_int"]).astype(jnp.float32) \
+                * head["mult"] + head["b"]
+    return _fq_site(ip["act_out"], logits, bt_a)

@@ -49,11 +49,25 @@ def _int_exp(x_int, scaling_factor, n: int = 32):
 
 def int_softmax(x, scaling_factor):
     """(exp_int, exp_int_sum) of the shifted input (layers.py:331-365)."""
-    x_int = x / scaling_factor
+    return int_softmax_from_int(x / scaling_factor, scaling_factor)
+
+
+def int_softmax_from_int(x_int, scaling_factor):
+    """Same, but taking the integer representation directly (the integer
+    pipeline's attention scores arrive as int codes already)."""
     x_int = x_int - jnp.max(x_int, axis=-1, keepdims=True)
     exp_int, _ = _int_exp(x_int, scaling_factor)
     exp_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
     return exp_int, exp_sum
+
+
+def _lis_tail(exp_int, exp_sum, bit_type: BitType):
+    softmax_inv = jnp.round(exp_sum / exp_int)
+    rounds = log_round(softmax_inv)
+    mask = rounds >= 2**bit_type.bits
+    qlog = jnp.clip(rounds, 0, 2**bit_type.bits - 1)
+    deq = 2.0 ** (-qlog)
+    return jnp.where(mask, 0.0, deq)
 
 
 def log_int_softmax(x, scaling_factor, bit_type: BitType):
@@ -63,10 +77,9 @@ def log_int_softmax(x, scaling_factor, bit_type: BitType):
     x: attention logits already fake-quantized on ``scaling_factor`` grid.
     Returns the dequantized softmax output in float.
     """
-    exp_int, exp_sum = int_softmax(x, scaling_factor)
-    softmax_inv = jnp.round(exp_sum / exp_int)
-    rounds = log_round(softmax_inv)
-    mask = rounds >= 2**bit_type.bits
-    qlog = jnp.clip(rounds, 0, 2**bit_type.bits - 1)
-    deq = 2.0 ** (-qlog)
-    return jnp.where(mask, 0.0, deq)
+    return _lis_tail(*int_softmax(x, scaling_factor), bit_type)
+
+
+def log_int_softmax_from_int(x_int, scaling_factor, bit_type: BitType):
+    """LIS taking integer attention scores (x / scaling_factor) directly."""
+    return _lis_tail(*int_softmax_from_int(x_int, scaling_factor), bit_type)

@@ -1,0 +1,101 @@
+"""Device-mesh parallelism for quantized eval.
+
+The reference is strictly single-process/single-GPU (SURVEY.md §2.7) — its
+only "multi-GPU" story is separate shell jobs.  The TPU-native rebuild scales
+the eval/search loops over a ``jax.sharding.Mesh`` instead:
+
+* **dp** axis: the validation batch is sharded — embarrassingly parallel.
+* **tp** axis: attention/MLP weights are megatron-sharded (qkv/fc1 row-wise,
+  proj/fc2 column-wise) so XLA GSPMD inserts the reduce-scatter/all-gather
+  collectives over ICI.  At ViT scale tp is not needed for memory, but the
+  sharding rules keep every kernel shard_map/GSPMD-compatible and demonstrate
+  the full layout story for larger derivatives.
+
+Quantization parameters (scales) are small and replicated; GSPMD reshards
+them on the fly where a matmul needs a sharded operand's scale.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              tp: int | None = None, devices=None) -> Mesh:
+    """Create a (dp, tp) mesh.  Defaults: use every device, all-dp."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    n = len(devices)
+    if dp is None and tp is None:
+        dp, tp = n, 1
+    elif dp is None:
+        dp = n // tp
+    elif tp is None:
+        tp = n // dp
+    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+    dev = np.asarray(devices).reshape(dp, tp)
+    return Mesh(dev, axis_names=("dp", "tp"))
+
+
+def _param_pspec(path: str, arr) -> P:
+    """Megatron sharding rules for the ViT param pytree (torch (out,in)
+    weight layout): qkv/fc1 shard the out dim, proj/fc2 shard the in dim."""
+    if path.endswith("qkv.w") or path.endswith("fc1.w"):
+        return P("tp", None)
+    if path.endswith("proj.w") or path.endswith("fc2.w"):
+        return P(None, "tp")
+    if path.endswith("qkv.b") or path.endswith("fc1.b"):
+        return P("tp")
+    return P()  # replicate: norms, biases of col-sharded layers, embeddings
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return ".".join(parts)
+
+
+def param_shardings(mesh: Mesh, params):
+    """NamedSharding pytree for the model params under ``mesh``.  The patch
+    conv is excluded from tp (its out dim (embed) feeds LN which needs the
+    full channel axis; it is tiny anyway)."""
+    def spec(path, arr):
+        ps = _path_str(path)
+        if "patch_embed" in ps:
+            return NamedSharding(mesh, P())
+        p = _param_pspec(ps, arr)
+        # guard: only shard dims divisible by the tp size
+        tp = mesh.shape["tp"]
+        for axis, name in enumerate(p):
+            if name == "tp" and arr.shape[axis] % tp != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, p)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def replicated(mesh: Mesh, tree):
+    return jax.tree.map(lambda _: NamedSharding(mesh, P()), tree)
+
+
+def batch_sharding(mesh: Mesh):
+    return NamedSharding(mesh, P("dp"))
+
+
+def shard_params(mesh: Mesh, params):
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def shard_replicated(mesh: Mesh, tree):
+    return jax.device_put(tree, replicated(mesh, tree))

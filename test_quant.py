@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Quantized ViT/DeiT/Swin ImageNet evaluation CLI.
+
+TPU-native rebuild of /root/reference/test_quant.py with the same public
+interface: both the README's positional form (``test_quant.py deit_small
+<data-dir> --quant ...``) and the argparse flag form (``--model --data``,
+test_quant.py:20-21; SURVEY.md §2.3 ⚠️4), identical Prec@1/Prec@5 report
+format, and the same pipeline stages: optional Hessian sensitivity, one-batch
+calibration (real / Gaussian / synthesized data), Pareto + evolutionary
+mixed-precision search, or plain all-4-bit evaluation.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import sys
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="P2-ViT on TPU (diffvit_tpu)")
+    p.add_argument("model_pos", nargs="?", default=None,
+                   help="model name (positional form)")
+    p.add_argument("data_pos", nargs="?", default=None,
+                   help="ImageNet dir (positional form)")
+    p.add_argument("--model", default="deit_tiny")
+    p.add_argument("--data", default="/home/ubuntu/imagenet")
+    p.add_argument("--quant", default=False, action="store_true")
+    p.add_argument("--ptf", default=True, type=lambda s: s not in ("False", "false", "0"))
+    p.add_argument("--lis", default=True, type=lambda s: s not in ("False", "false", "0"))
+    p.add_argument("--quant-method", default="minmax",
+                   choices=["minmax", "ema", "omse", "percentile"])
+    p.add_argument("--mixed", default=False, action="store_true")
+    p.add_argument("--calib-batchsize", default=50, type=int)
+    p.add_argument("--mode", default=0, type=int,
+                   help="calibration data: 0 real, 1 Gaussian noise, 2 generated")
+    p.add_argument("--calib-iter", default=6, type=int)
+    p.add_argument("--val-batchsize", default=50, type=int)
+    p.add_argument("--num-workers", default=16, type=int)
+    p.add_argument("--device", default="tpu", help="jax platform (tpu/cpu)")
+    p.add_argument("--print-freq", default=100, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--checkpoint", default=None,
+                   help="local .pth/.npz weights (no-network environment)")
+    p.add_argument("--hessian-batches", default=10, type=int)
+    p.add_argument("--hessian-iter", default=150, type=int)
+    p.add_argument("--val-limit", default=None, type=int,
+                   help="cap validation images (debug)")
+    return p
+
+
+def seed_everything(seed):
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    if args.model_pos is not None:
+        args.model = args.model_pos
+    if args.data_pos is not None:
+        args.data = args.data_pos
+    seed_everything(args.seed)
+
+    if args.device and args.device != "tpu":
+        import jax
+        jax.config.update("jax_platforms", args.device)
+
+    import jax
+
+    from diffvit_tpu.config import QuantConfig
+    from diffvit_tpu.engine import QuantizedViT, validate
+    from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, build_transform
+    from diffvit_tpu.data.synthetic import gaussian_calibration
+    from diffvit_tpu.models.registry import preprocessing_for
+    from diffvit_tpu.models import vit as vit_mod
+
+    cfg = QuantConfig(ptf=args.ptf, lis=args.lis, quant_method=args.quant_method)
+    print(f"Model: {args.model}")
+    model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
+                         seed=args.seed)
+    pp = preprocessing_for(args.model)
+    transform = build_transform(mean=pp.mean, std=pp.std, crop_pct=pp.crop_pct)
+
+    valdir = os.path.join(args.data, "val")
+    traindir = os.path.join(args.data, "train")
+    val_dataset = ImageFolder(valdir, transform)
+    if args.val_limit:
+        val_dataset.samples = val_dataset.samples[: args.val_limit]
+    val_loader = DataLoader(val_dataset, args.val_batchsize, shuffle=False,
+                            num_workers=args.num_workers)
+
+    def train_batches(n, batch_size):
+        ds = ImageFolder(traindir, transform)
+        dl = DataLoader(ds, batch_size, shuffle=True,
+                        num_workers=args.num_workers, drop_last=True,
+                        seed=args.seed)
+        out = []
+        for i, b in enumerate(dl):
+            if i >= n:
+                break
+            out.append(b)
+        return out
+
+    mean_hessian = None
+    if args.mixed:
+        from diffvit_tpu.analysis.hessian import hessian_sensitivity
+
+        print("Calculating the sensitivities via the averaged Hessian trace...")
+        batches = train_batches(args.hessian_batches, args.calib_batchsize)
+        mean_hessian = hessian_sensitivity(
+            model.params, model.spec, batches, jax.random.PRNGKey(args.seed),
+            max_iter=args.hessian_iter)
+        print("\n***Trace: ", mean_hessian)
+
+    if args.quant:
+        if args.mode == 2:
+            from diffvit_tpu.analysis.datagen import generate_data
+
+            print("Generating data...")
+            calib = generate_data(model.params, model.spec,
+                                  batch_size=args.calib_batchsize,
+                                  seed=args.seed)
+            print("Calibrating with generated data...")
+        elif args.mode == 1:
+            print("Calibrating with Gaussian noise...")
+            calib = gaussian_calibration(args.calib_batchsize, args.seed)
+        else:
+            print("Calibrating with real data...")
+            calib = train_batches(1, args.calib_batchsize)[0][0]
+        model.calibrate(calib)
+
+    def evaluate(bit_config):
+        print(bit_config)
+        _, prec1, _ = validate(model, val_loader, tuple(bit_config),
+                               quant=args.quant, print_freq=args.print_freq)
+        print("")
+        return prec1
+
+    if args.mixed:
+        from diffvit_tpu.analysis import mixed_precision as mp
+
+        flops = model.flops
+        assert len(flops) - 1 == len(model.global_distance) == len(mean_hessian)
+        print("Pareto Frontier.......")
+        rng = random.Random(args.seed)
+        bit_list = mp.sample_candidates(flops, rng)
+        omega_list = mp.omega_rank(bit_list, flops, mean_hessian,
+                                   model.global_distance)
+        print("Hessien-Based Validating...")
+        for i in range(min(5, len(omega_list))):
+            evaluate(omega_list[i][0])
+        print("Start Evolutionary.......")
+        result = mp.evolutionary_search(omega_list, flops, evaluate, rng=rng)
+        print("best:", result[0])
+    else:
+        bit_config = [cfg.bit_w.bits] * vit_mod.num_bit_slots(model.spec) \
+            if args.quant else None
+        print(bit_config)
+        validate(model, val_loader, bit_config, quant=args.quant,
+                 print_freq=args.print_freq)
+
+
+if __name__ == "__main__":
+    main()

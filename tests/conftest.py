@@ -2,11 +2,17 @@
 sharding tests work without TPU hardware (SURVEY.md §4)."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+# Note: the JAX_PLATFORMS env var initializes the backend during `import jax`
+# which silently defeats jax_num_cpu_devices — use config knobs instead.
+os.environ.pop("JAX_PLATFORMS", None)
+
+import jax  # noqa: E402
+
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except RuntimeError:  # backend already initialized
+    pass
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,127 @@
+"""Engine + CLI integration tests on a hermetic fake ImageFolder."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from diffvit_tpu.config import QuantConfig
+from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, build_transform
+from diffvit_tpu.data.synthetic import gaussian_calibration, make_fake_imagefolder
+from diffvit_tpu.engine import QuantizedViT, validate
+from diffvit_tpu.models import vit
+
+
+TINY = vit.ViTSpec("test_tiny", embed_dim=64, depth=2, num_heads=2,
+                   num_classes=4)
+
+
+@pytest.fixture(scope="module")
+def fake_data(tmp_path_factory):
+    root = tmp_path_factory.mktemp("imagenet")
+    make_fake_imagefolder(str(root / "train"), num_classes=4, per_class=3)
+    make_fake_imagefolder(str(root / "val"), num_classes=4, per_class=2, seed=1)
+    return str(root)
+
+
+def test_imagefolder_and_loader(fake_data):
+    tf = build_transform()
+    ds = ImageFolder(os.path.join(fake_data, "val"), tf)
+    assert len(ds) == 8
+    img, label = ds[0]
+    assert img.shape == (3, 224, 224)
+    dl = DataLoader(ds, batch_size=3, num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[0][0].shape == (3, 3, 224, 224)
+    assert batches[-1][0].shape == (2, 3, 224, 224)
+
+
+def test_transform_matches_torchvision_semantics(fake_data):
+    """Resize-shorter-side + center-crop on a non-square image."""
+    from PIL import Image
+
+    tf = build_transform(crop_pct=0.875)
+    img = Image.new("RGB", (300, 400), (255, 0, 0))
+    out = tf(img)
+    assert out.shape == (3, 224, 224)
+
+
+def test_engine_validate(fake_data):
+    import jax
+
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    model = QuantizedViT(TINY, QuantConfig(), params=params)
+    model.calibrate(gaussian_calibration(4))
+    assert model.global_distance.shape == (4 * TINY.depth + 1, 4)
+
+    tf = build_transform()
+    ds = ImageFolder(os.path.join(fake_data, "val"), tf)
+    dl = DataLoader(ds, batch_size=4, num_workers=2)
+    loss, p1, p5 = validate(model, dl, print_freq=0)
+    assert 0 <= p1 <= 100 and 0 <= p5 <= 100
+    # fp path too
+    loss, p1f, _ = validate(model, dl, quant=False, print_freq=0)
+    assert np.isfinite(loss)
+
+
+def test_mixed_precision_search_logic():
+    from diffvit_tpu.analysis import mixed_precision as mp
+    import random
+
+    flops = vit.flops_list(TINY)
+    rng = random.Random(0)
+    # at depth 2 the patch conv dominates FLOPs, so the 1.1x constraint can
+    # never fit the forced 8-bit first layer — same math as the reference;
+    # widen the budget for the toy spec
+    assert mp.sample_candidates(flops, rng, max_candidates=20) == []
+    cands = mp.sample_candidates(flops, rng, max_candidates=20, factor=1.5)
+    assert cands and all(len(c) == len(flops) for c in cands)
+    assert all(c[0] == 8 for c in cands)
+    # pairs share bits
+    for c in cands:
+        inner = c[1:-1]
+        assert all(inner[2 * i] == inner[2 * i + 1]
+                   for i in range(len(inner) // 2))
+    gd = np.abs(np.random.default_rng(0).normal(size=(len(flops) - 1, 4)))
+    hess = list(np.random.default_rng(1).random(len(flops) - 1))
+    ranked = mp.omega_rank(cands, flops, hess, gd)
+    assert ranked[0][1] <= ranked[-1][1]
+
+    evals = []
+
+    def fake_eval(bc):
+        evals.append(bc)
+        return float(sum(bc))  # favors 8-bit
+
+    pop = mp.evolutionary_search(ranked, flops, fake_eval, pop_size=4,
+                                 evo_iter=1, mutate_size=2, crossover_size=2,
+                                 log=lambda *_: None)
+    assert pop and pop[0][1] >= pop[-1][1]
+    assert evals
+
+
+def test_hessian_traces_smoke():
+    import jax
+
+    from diffvit_tpu.analysis.hessian import (hessian_sensitivity,
+                                              hessian_target_names,
+                                              hessian_traces)
+
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    names = hessian_target_names(TINY)
+    assert len(names) == 4 * TINY.depth + 1
+    x = np.random.default_rng(0).standard_normal((2, 3, 224, 224)).astype("float32")
+    y = np.array([0, 1])
+    sel = [names[0], names[-1]]
+    got_names, traces = hessian_traces(params, TINY, x, y,
+                                       jax.random.PRNGKey(0), max_iter=3,
+                                       names=sel)
+    assert len(traces) == 2 and all(np.isfinite(traces))
+
+    mh = hessian_sensitivity(params, TINY, [(x, y)], jax.random.PRNGKey(0),
+                             max_iter=2, log=lambda *_: None)
+    assert len(mh) == 4 * TINY.depth + 1
+    assert all(0.0 <= v <= 1.0 for v in mh)
