@@ -69,14 +69,24 @@ def main():
         run = lambda x: step(params, qp, x)
 
     x = jnp.asarray(rng.standard_normal((args.batch, 3, 224, 224)), jnp.float32)
-    # warmup / compile
-    for _ in range(args.warmup):
-        run(x).block_until_ready()
 
+    # Chained, data-dependent step loop: on virtualized TPU backends,
+    # independent dispatches of the same executable can overlap across
+    # backing hardware, making fire-and-forget timing meaningless.  Feeding
+    # a (negligible) function of step i's output into step i+1 forces true
+    # sequential single-chip execution.
+    nsteps = args.steps
+
+    @jax.jit
+    def chained(x):
+        def body(_, carry):
+            logits = run(carry)
+            return carry * (1.0 + 1e-12 * jnp.sum(logits))
+        return jnp.sum(jax.lax.fori_loop(0, nsteps, body, x))
+
+    float(chained(x))  # compile + warm
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        out = run(x)
-    out.block_until_ready()
+    float(chained(x))
     dt = time.perf_counter() - t0
 
     img_per_sec = args.batch * args.steps / dt

@@ -187,8 +187,21 @@ def _fq_site(site, x, bt):
     return fake_quant(x, site["scale"], site["zp"], bt)
 
 
-def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x):
-    """Integer forward pass over a prepared int-model pytree."""
+def _round_up(n, m):
+    return (n + m - 1) // m * m
+
+
+def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
+                  use_pallas: bool | None = None, pallas_interpret=False):
+    """Integer forward pass over a prepared int-model pytree.
+
+    use_pallas: run attention as the fused Pallas kernel.  The two paths are
+    numerically identical; on the current chip the fused kernel about
+    matches the XLA path (the LIS VPU math dominates, and the kernel's
+    layout transposes eat the HBM savings), so auto currently selects the
+    XLA path."""
+    if use_pallas is None:
+        use_pallas = False
     bt_a = cfg.bit_a
     eps = spec.ln_eps
     B = x.shape[0]
@@ -232,37 +245,53 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x):
                 * qkv_site["mult"] + qkv_site["b"]
 
         s1 = ib["attn.qact1"]["scale"]
+        s_a = ib["attn.qact_attn1"]["scale"]
+        s2 = ib["attn.qact2"]["scale"]
+        bt_s = cfg.bit_s
         qkv_i8 = _requant_i8(y, s1)
         N = qkv_i8.shape[1]
-        qkv_i8 = qkv_i8.reshape(B, N, 3, n_heads, h_dim).transpose(2, 0, 3, 1, 4)
-        q8, k8, v8 = qkv_i8[0], qkv_i8[1], qkv_i8[2]
-        a32 = jax.lax.dot_general(
-            q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
-            preferred_element_type=I32)
-        s_a = ib["attn.qact_attn1"]["scale"]
-        bt_s = cfg.bit_s
-        a_int = jnp.clip(
-            jnp.round(a32.astype(jnp.float32)
-                      * (s1 * s1 * spec.attn_scale / s_a)),
-            bt_a.lower_bound, bt_a.upper_bound)
-        if cfg.lis:
-            attn = log_int_softmax_from_int(a_int, s_a, bt_s).astype(jnp.bfloat16)
-        else:
-            attn = jax.nn.softmax(a_int * s_a, axis=-1).astype(jnp.bfloat16)
-        o = jax.lax.dot_general(
-            attn, v8.astype(jnp.bfloat16), (((3,), (2,)), ((0, 1), (0, 1))),
-            preferred_element_type=jnp.float32)
-        o = o.transpose(0, 2, 1, 3).reshape(B, N, spec.embed_dim) * s1
-
-        s2 = ib["attn.qact2"]["scale"]
         proj_site = ib["proj"]
-        if proj_site["fp"]:
-            y = _fq_site(ib["attn.qact2"], o, bt_a)
-            y = y @ proj_site["w"].T + proj_site["b"]
-        else:
-            o_i8 = _requant_i8(o, s2)
+        if use_pallas and not proj_site["fp"]:
+            from ..ops.pallas.attention import fused_int_attention
+
+            npad = _round_up(N, 128)
+            qkv_p = jnp.pad(qkv_i8, ((0, 0), (0, npad - N), (0, 0)))
+            qkv_p = qkv_p.reshape(B, npad, 3, n_heads, h_dim) \
+                .transpose(0, 2, 3, 1, 4)  # (B, 3, H, N, D)
+            scalars = jnp.stack([s1 * s1 * spec.attn_scale / s_a,
+                                 s1 / s2, s_a]).astype(jnp.float32)
+            o_i8 = fused_int_attention(
+                qkv_p, scalars, num_heads=n_heads, n_real=N,
+                bits=bt_s.bits, lis=cfg.lis, interpret=pallas_interpret)
+            o_i8 = o_i8.transpose(0, 2, 1, 3)[:, :N] \
+                .reshape(B, N, spec.embed_dim)
             y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
                 * proj_site["mult"] + proj_site["b"]
+        else:
+            qkv_h = qkv_i8.reshape(B, N, 3, n_heads, h_dim).transpose(2, 0, 3, 1, 4)
+            q8, k8, v8 = qkv_h[0], qkv_h[1], qkv_h[2]
+            a32 = jax.lax.dot_general(
+                q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=I32)
+            a_int = jnp.clip(
+                jnp.round(a32.astype(jnp.float32)
+                          * (s1 * s1 * spec.attn_scale / s_a)),
+                bt_a.lower_bound, bt_a.upper_bound)
+            if cfg.lis:
+                attn = log_int_softmax_from_int(a_int, s_a, bt_s).astype(jnp.bfloat16)
+            else:
+                attn = jax.nn.softmax(a_int * s_a, axis=-1).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                attn, v8.astype(jnp.bfloat16), (((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32)
+            o = o.transpose(0, 2, 1, 3).reshape(B, N, spec.embed_dim) * s1
+            if proj_site["fp"]:
+                y = _fq_site(ib["attn.qact2"], o, bt_a)
+                y = y @ proj_site["w"].T + proj_site["b"]
+            else:
+                o_i8 = _requant_i8(o, s2)
+                y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
+                    * proj_site["mult"] + proj_site["b"]
         y = _fq_site(ib["attn.qact3"], y, bt_a)
         h = _fq_site(ib["qact2"], h + y, bt_a)
 

@@ -1,0 +1,132 @@
+"""Fused quantized attention kernel (Pallas/Mosaic, TPU).
+
+Fuses the whole attention inner loop of the integer path —
+
+    scores_i32 = q_i8 @ k_i8^T
+    a_int      = clip(round(scores * s1^2*attn_scale/s_a))     (qact_attn1)
+    attn       = LogIntSoftmax(a_int)                          (2^-q codes)
+    out        = clip(round((attn @ v_i8) * s1/s2))            (qact2 requant)
+
+— into one kernel, so the (B, H, N, N) score and attention matrices never
+touch HBM (for DeiT-S at batch 256 that's ~1 GB of round trips per step on
+the XLA path).
+
+Layout: q/k/v arrive as one (B, 3, H, N_pad, D) int8 array (the transposed,
+requantized qkv linear output); the kernel grid is (B/G, H) with per-program
+blocks of G batch elements × one head — G amortizes DMA and fixed program
+overhead over G (N,D)-sized matmul pairs.  Output is (B, H, N_pad, D) int8.
+
+The sequence is padded to a multiple of 128 tokens; padded key columns are
+masked out of the integer softmax (their exp_int is zeroed, which makes the
+LIS inversion saturate and dequantize to exactly 0, matching the reference's
+saturation semantics).  Padded query rows produce garbage the caller slices
+off.
+
+int8 operands are exact in bfloat16 (|x| <= 128 < 2^8), products and f32
+partial sums stay below 2^24, so the bf16 MXU matmuls here are bit-exact
+integer arithmetic.
+
+Reference semantics: QIntSoftmax.int_softmax + log_round
+(/root/reference/models/ptq/layers.py:323-376).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _lis_body(a_int, scale, bits, col_ok):
+    """Log-Int-Softmax on integer scores (f32 carrier), cols masked by
+    ``col_ok``.  Returns bf16 attention weights.
+
+    (A bitcast-based exp2/log2 variant was measured slower than the VPU
+    transcendentals here — the int<->float relayouts cost more than the
+    transcendental units; keeping the jnp forms.)"""
+    neg_inf_rows = jnp.where(col_ok, a_int, -jnp.inf)
+    x_int = a_int - jnp.max(neg_inf_rows, axis=-1, keepdims=True)
+    # int_exp (layers.py:346-358), n = 32
+    x0 = -0.6931
+    n = 32.0
+    x0_int = jnp.floor(x0 / scale)
+    x_int = jnp.maximum(x_int, n * x0_int)
+    q = jnp.floor(x_int / x0_int)
+    r = x_int - x0_int * q
+    # int_polynomial (layers.py:334-344)
+    b_int = jnp.floor((0.96963238 / 0.35815147) / scale)
+    c_int = jnp.floor((1.0 / 0.35815147) / (scale * scale))
+    poly = r * (r + b_int) + c_int
+    exp_int = jnp.maximum(jnp.floor(poly * jnp.exp2(n - q)), 0.0)
+    exp_int = jnp.where(col_ok, exp_int, 0.0)
+    exp_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
+    # log2 quantization (layers.py:367-376); exp_int == 0 -> inf -> masked 0
+    softmax_inv = jnp.round(exp_sum / exp_int)
+    f = jnp.floor(jnp.log2(softmax_inv))
+    rounds = f + ((softmax_inv - jnp.exp2(f)) >= jnp.exp2(f - 1.0))
+    sat = rounds >= 2.0**bits
+    qlog = jnp.clip(rounds, 0.0, 2.0**bits - 1.0)
+    deq = jnp.where(sat, 0.0, jnp.exp2(-qlog))
+    return deq.astype(jnp.bfloat16)
+
+
+def _attn_kernel(qkv_ref, scal_ref, out_ref, *, n_real, bits, lis, group):
+    # qkv_ref: (G, 3, 1, N, D) int8 — G batch elements, one head
+    # scal_ref: SMEM (3,) f32 = [c1, s1_over_s2, s_a]
+    # out_ref: (G, 1, N, D) int8
+    c1 = scal_ref[0]
+    s1_over_s2 = scal_ref[1]
+    s_a = scal_ref[2]
+
+    npad = qkv_ref.shape[3]
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+
+    for g in range(group):
+        q = qkv_ref[g, 0, 0, :, :].astype(jnp.bfloat16)
+        k = qkv_ref[g, 1, 0, :, :].astype(jnp.bfloat16)
+        v = qkv_ref[g, 2, 0, :, :].astype(jnp.bfloat16)
+
+        scores = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+        a_int = jnp.clip(jnp.round(scores * c1), -128.0, 127.0)
+
+        if lis:
+            attn = _lis_body(a_int, s_a, bits, col_ok)
+        else:
+            logits = jnp.where(col_ok, a_int * s_a, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+
+        o = jax.lax.dot_general(
+            attn, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
+        out_ref[g, 0, :, :] = o.astype(jnp.int8)
+
+
+def fused_int_attention(qkv_i8, scalars, *, num_heads, n_real, bits=4,
+                        lis=True, group=8, interpret=False):
+    """qkv_i8: (B, 3, H, N_pad, D) int8 on the qact1 grid.
+    scalars: (3,) f32 [s1^2*attn_scale/s_a, s1/s2, s_a].
+    Returns (B, H, N_pad, D) int8 on the qact2 grid."""
+    b, three, h, npad, d = qkv_i8.shape
+    assert three == 3 and h == num_heads
+    while b % group:
+        group //= 2
+    kernel = functools.partial(_attn_kernel, n_real=n_real, bits=bits,
+                               lis=lis, group=group)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group, h),
+        in_specs=[
+            pl.BlockSpec((group, 3, 1, npad, d), lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((group, 1, npad, d), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, npad, d), jnp.int8),
+        interpret=interpret,
+    )(qkv_i8, scalars)
