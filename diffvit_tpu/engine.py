@@ -23,10 +23,12 @@ from .parallel import mesh as mesh_mod
 
 
 class QuantizedViT:
-    """Calibratable quantized ViT/DeiT with compiled-forward caching.
+    """Calibratable quantized ViT/DeiT/Swin with compiled-forward caching.
 
     Each distinct (bit_config, quantized?) pair traces once; subsequent
     batches reuse the compiled executable (SURVEY.md §7 design point 4).
+    For Swin specs, ``bit_config`` is a single uniform weight bit (the
+    reference Swin has no per-layer bit plumbing, swin_quant.py:813-817).
     """
 
     def __init__(self, name_or_spec, cfg: QuantConfig | None = None,
@@ -37,6 +39,10 @@ class QuantizedViT:
         else:
             self.spec = name_or_spec
             assert params is not None
+        from .models import swin as swin_mod
+
+        self.is_swin = isinstance(self.spec, swin_mod.SwinSpec)
+        self._mod = swin_mod if self.is_swin else vit_mod
         self.cfg = cfg or QuantConfig()
         self.mesh = mesh
         if mesh is not None:
@@ -52,7 +58,7 @@ class QuantizedViT:
         batch = jnp.asarray(batch)
         # Eager orchestration over jitted per-site primitives: identical
         # block shapes share compiled kernels (see calib/observers.py).
-        qp, dist = vit_mod.calibrate(self.params, self.spec, self.cfg, batch)
+        qp, dist = self._mod.calibrate(self.params, self.spec, self.cfg, batch)
         if self.mesh is not None:
             qp = mesh_mod.shard_replicated(self.mesh, qp)
         self.qparams = jax.tree.map(lambda a: a, qp)
@@ -63,12 +69,16 @@ class QuantizedViT:
     def _forward_fn(self, quant: bool, bit_config):
         key = (quant, bit_config)
         if key not in self._jit_cache:
-            if quant:
-                fn = partial(vit_mod.forward_q, spec=self.spec, cfg=self.cfg,
-                             bit_config=bit_config)
+            if quant and self.is_swin:
+                fn = partial(self._mod.forward_q, spec=self.spec,
+                             cfg=self.cfg, bit=bit_config)
+                jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=x))
+            elif quant:
+                fn = partial(self._mod.forward_q, spec=self.spec,
+                             cfg=self.cfg, bit_config=bit_config)
                 jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=x))
             else:
-                fn = partial(vit_mod.forward_fp, spec=self.spec)
+                fn = partial(self._mod.forward_fp, spec=self.spec)
                 jfn = jax.jit(lambda p, qp, x: fn(p, x=x))
             self._jit_cache[key] = jfn
         return self._jit_cache[key]
@@ -79,16 +89,23 @@ class QuantizedViT:
             x = jax.device_put(x, mesh_mod.batch_sharding(self.mesh))
         if quant and self.qparams is None:
             raise RuntimeError("model not calibrated; call .calibrate() first")
-        if quant and bit_config is None:
-            bit_config = (self.cfg.bit_w.bits,) * vit_mod.num_bit_slots(self.spec)
-        if bit_config is not None:
-            bit_config = tuple(int(b) for b in bit_config)
+        if self.is_swin:
+            if quant and bit_config is None:
+                bit_config = self.cfg.bit_w.bits
+            if bit_config is not None and not isinstance(bit_config, int):
+                bit_config = int(bit_config[0]) if hasattr(bit_config, "__len__") \
+                    else int(bit_config)
+        else:
+            if quant and bit_config is None:
+                bit_config = (self.cfg.bit_w.bits,) * vit_mod.num_bit_slots(self.spec)
+            if bit_config is not None:
+                bit_config = tuple(int(b) for b in bit_config)
         fn = self._forward_fn(quant, bit_config)
         return fn(self.params, self.qparams, x)
 
     @property
     def flops(self):
-        return vit_mod.flops_list(self.spec)
+        return self._mod.flops_list(self.spec)
 
 
 def validate(model: QuantizedViT, loader, bit_config=None, quant=True,

@@ -157,8 +157,14 @@ def main(argv=None):
         result = mp.evolutionary_search(omega_list, flops, evaluate, rng=rng)
         print("best:", result[0])
     else:
-        bit_config = [cfg.bit_w.bits] * vit_mod.num_bit_slots(model.spec) \
-            if args.quant else None
+        if not args.quant:
+            bit_config = None
+        elif model.is_swin:
+            # Swin has no per-layer bit plumbing in the reference — one
+            # uniform weight bit (swin_quant.py:813-817)
+            bit_config = cfg.bit_w.bits
+        else:
+            bit_config = [cfg.bit_w.bits] * vit_mod.num_bit_slots(model.spec)
         print(bit_config)
         validate(model, val_loader, bit_config, quant=args.quant,
                  print_freq=args.print_freq)

@@ -1,0 +1,97 @@
+"""Swin family: geometry, FP forward, calibration, quantized forward."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffvit_tpu.config import QuantConfig
+from diffvit_tpu.models import swin
+
+TINY = swin.SwinSpec("swin_test", embed_dim=32, depths=(1, 1),
+                     num_heads=(2, 4), img_size=56, num_classes=10)
+
+
+def test_window_roundtrip():
+    x = jnp.arange(2 * 14 * 14 * 8, dtype=jnp.float32).reshape(2, 14, 14, 8)
+    w = swin.window_partition(x, 7)
+    assert w.shape == (2 * 4, 49, 8)
+    back = swin.window_reverse(w.reshape(-1, 7, 7, 8), 7, 14, 14)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_matches_reference_construction():
+    import torch
+
+    ws = 7
+    coords = torch.stack(torch.meshgrid([torch.arange(ws), torch.arange(ws)],
+                                        indexing="ij"))
+    flat = torch.flatten(coords, 1)
+    rel = (flat[:, :, None] - flat[:, None, :]).permute(1, 2, 0).contiguous()
+    rel[:, :, 0] += ws - 1
+    rel[:, :, 1] += ws - 1
+    rel[:, :, 0] *= 2 * ws - 1
+    ref = rel.sum(-1).numpy()
+    np.testing.assert_array_equal(swin.relative_position_index(ws), ref)
+
+
+def test_shift_mask():
+    m = swin.shift_attn_mask((14, 14), 7, 3)
+    assert m.shape == (4, 49, 49)
+    assert set(np.unique(m)) <= {0.0, -100.0}
+    assert swin.shift_attn_mask((14, 14), 7, 0) is None
+
+
+def test_block_geometry_window_clamp():
+    # stage 1 of the tiny spec has resolution 7x7 -> window clamps, no shift
+    res, ws, shift, mask = swin.block_geometry(TINY, 1, 1)
+    assert res == (7, 7) and ws == 7 and shift == 0 and mask is None
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = swin.init_swin_params(TINY, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 56, 56))
+    return params, x
+
+
+def test_swin_forward_fp(setup):
+    params, x = setup
+    logits = swin.forward_fp(params, TINY, x)
+    assert logits.shape == (2, 10)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_swin_calibrate_and_forward_q(setup):
+    params, x = setup
+    cfg = QuantConfig()
+    qp, dist = swin.calibrate(params, TINY, cfg, x)
+    # qkv/proj/fc1/fc2 per block + reduction + head = 4*2 + 1 + 1
+    assert dist.shape == (4 * sum(TINY.depths) + (TINY.num_layers - 1) + 1, 4)
+    fp = np.asarray(swin.forward_fp(params, TINY, x))
+    for bit in (8, 4):
+        q = np.asarray(swin.forward_q(params, qp, TINY, cfg, x, bit=bit))
+        assert np.all(np.isfinite(q))
+        rel = np.linalg.norm(q - fp) / (np.linalg.norm(fp) + 1e-9)
+        assert rel < (0.6 if bit == 8 else 2.5), (bit, rel)
+
+
+def test_swin_no_ptf_no_lis(setup):
+    params, x = setup
+    cfg = QuantConfig(ptf=False, lis=False)
+    qp, _ = swin.calibrate(params, TINY, cfg, x)
+    q = np.asarray(swin.forward_q(params, qp, TINY, cfg, x, bit=8))
+    assert np.all(np.isfinite(q))
+
+
+def test_swin_engine_and_shifted_stage():
+    """Full swin_tiny geometry (4 stages incl. shifted blocks) through the
+    engine on a single batch."""
+    from diffvit_tpu.engine import QuantizedViT
+
+    cfg = QuantConfig()
+    model = QuantizedViT("swin_tiny", cfg)
+    assert model.is_swin
+    x = np.random.default_rng(0).standard_normal((1, 3, 224, 224)).astype("float32")
+    out = model(x, quant=False)
+    assert out.shape == (1, 1000)
+    assert len(model.flops) == swin.num_bit_slots(model.spec)
