@@ -117,6 +117,113 @@ def hessian_traces(params, spec, inputs, targets, key, max_iter=150,
     return names, traces
 
 
+def _multi_leaf_fns(params, spec, inputs, targets, names):
+    """Joint loss over a dict of target leaves (the reference's eigenvalues /
+    density operate on the full selected-parameter vector jointly,
+    hessian.py:114-161, 213-288)."""
+
+    def set_all(ws):
+        p = params
+        for n, w in ws.items():
+            p = _set_leaf(p, n, w)
+        return p
+
+    def loss_ws(ws):
+        return _ce_loss(vit_mod.forward_fp(set_all(ws), spec, inputs), targets)
+
+    ws0 = {n: _get_leaf(params, n) for n in names}
+
+    @jax.jit
+    def hvp(ws, vs):
+        return jax.jvp(jax.grad(loss_ws), (ws,), (vs,))[1]
+
+    return ws0, hvp
+
+
+def _dot(a, b):
+    return sum(jnp.sum(x * y) for x, y in zip(jax.tree.leaves(a),
+                                              jax.tree.leaves(b)))
+
+
+def _normalize(v):
+    s = jnp.sqrt(_dot(v, v)) + 1e-6
+    return jax.tree.map(lambda x: x / s, v)
+
+
+def top_eigenvalues(params, spec, inputs, targets, key, top_n=1,
+                    max_iter=100, tol=1e-3, names=None):
+    """Power iteration with deflation for the top Hessian eigenvalues
+    (pyhessian/hessian.py:114-161)."""
+    names = names or hessian_target_names(spec)
+    inputs, targets = jnp.asarray(inputs), jnp.asarray(targets)
+    ws0, hvp = _multi_leaf_fns(params, spec, inputs, targets, names)
+
+    eigenvalues, eigenvectors = [], []
+    for _ in range(top_n):
+        key, sub = jax.random.split(key)
+        ks = jax.random.split(sub, len(names))
+        v = {n: jax.random.normal(k, ws0[n].shape)
+             for n, k in zip(names, ks)}
+        v = _normalize(v)
+        eig = None
+        for _ in range(max_iter):
+            # deflate against previously found eigenvectors
+            for prev in eigenvectors:
+                coef = _dot(v, prev)
+                v = jax.tree.map(lambda a, b: a - coef * b, v, prev)
+            v = _normalize(v)
+            hv = hvp(ws0, v)
+            new_eig = float(_dot(hv, v))
+            v = _normalize(hv)
+            if eig is not None and abs(new_eig - eig) / (abs(eig) + 1e-6) < tol:
+                eig = new_eig
+                break
+            eig = new_eig
+        eigenvalues.append(eig)
+        eigenvectors.append(v)
+    return eigenvalues, eigenvectors
+
+
+def eigenvalue_density(params, spec, inputs, targets, key, iters=100, n_v=1,
+                       names=None):
+    """Stochastic Lanczos quadrature eigenvalue density
+    (pyhessian/hessian.py:213-288; the reference's torch.eig call is removed
+    upstream — we diagonalize the tridiagonal matrix with numpy)."""
+    names = names or hessian_target_names(spec)
+    inputs, targets = jnp.asarray(inputs), jnp.asarray(targets)
+    ws0, hvp = _multi_leaf_fns(params, spec, inputs, targets, names)
+
+    all_eigs, all_weights = [], []
+    for _ in range(n_v):
+        key, sub = jax.random.split(key)
+        ks = jax.random.split(sub, len(names))
+        v = {n: jnp.sign(jax.random.rademacher(k, ws0[n].shape,
+                                               dtype=jnp.float32))
+             for n, k in zip(names, ks)}
+        v = _normalize(v)
+        vs = [v]
+        alphas, betas = [], []
+        w_prev = None
+        for i in range(iters):
+            hv = hvp(ws0, vs[-1])
+            alpha = float(_dot(hv, vs[-1]))
+            alphas.append(alpha)
+            w = jax.tree.map(lambda a, b: a - alpha * b, hv, vs[-1])
+            if w_prev is not None:
+                w = jax.tree.map(lambda a, b: a - betas[-1] * b, w, w_prev)
+            beta = float(jnp.sqrt(_dot(w, w)))
+            if beta < 1e-8 or i == iters - 1:
+                break
+            betas.append(beta)
+            w_prev = vs[-1]
+            vs.append(jax.tree.map(lambda a: a / beta, w))
+        t = np.diag(alphas) + np.diag(betas, 1) + np.diag(betas, -1)
+        evals, evecs = np.linalg.eigh(t)
+        all_eigs.append(evals.tolist())
+        all_weights.append((evecs[0] ** 2).tolist())
+    return all_eigs, all_weights
+
+
 def hessian_sensitivity(params, spec, batches, key, max_iter=150, tol=5e-3,
                         log=print):
     """test_quant.py:147-191: per-batch traces -> |.| -> min-max normalize ->

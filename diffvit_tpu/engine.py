@@ -65,6 +65,26 @@ class QuantizedViT:
         self.global_distance = np.asarray(dist)
         return self.qparams
 
+    def save_calibration(self, path):
+        """Serialize the calibration artifacts (scales/zero-points/SmoothQuant
+        channel scales + per-bit weight distances).  The reference recomputes
+        calibration on every run (SURVEY.md §5 'no saving of calibrated
+        scales'); this closes that gap."""
+        if self.qparams is None:
+            raise RuntimeError("nothing to save; calibrate first")
+        arrays = {f"qp::{k}": np.asarray(v) for k, v in self.qparams.items()}
+        arrays["__global_distance__"] = np.asarray(self.global_distance)
+        np.savez(path, **arrays)
+
+    def load_calibration(self, path):
+        with np.load(path) as z:
+            self.qparams = {k[4:]: jnp.asarray(z[k]) for k in z.files
+                            if k.startswith("qp::")}
+            self.global_distance = np.asarray(z["__global_distance__"])
+        if self.mesh is not None:
+            self.qparams = mesh_mod.shard_replicated(self.mesh, self.qparams)
+        return self.qparams
+
     # -- forwards ---------------------------------------------------------
     def _forward_fn(self, quant: bool, bit_config):
         key = (quant, bit_config)

@@ -210,7 +210,8 @@ def forward_fp(params, spec: ViTSpec, x, taps=None):
         qkv = y @ blk["qkv"]["w"].T + blk["qkv"]["b"]
         tap(f"blocks.{i}.attn.qkv", qkv)
         tap(f"blocks.{i}.attn", qkv)  # Attention.qkv_output cache
-        y, _ = _sdpa(qkv, spec, partial(jax.nn.softmax, axis=-1))
+        y, probs = _sdpa(qkv, spec, partial(jax.nn.softmax, axis=-1))
+        tap(f"blocks.{i}.attn.probs", probs)  # PSAQ-ViT attention-map hook
         y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
         tap(f"blocks.{i}.attn.proj", y)
         h = h + y

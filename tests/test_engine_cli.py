@@ -125,3 +125,23 @@ def test_hessian_traces_smoke():
                              max_iter=2, log=lambda *_: None)
     assert len(mh) == 4 * TINY.depth + 1
     assert all(0.0 <= v <= 1.0 for v in mh)
+
+
+def test_calibration_save_load(tmp_path):
+    import jax
+
+    from diffvit_tpu.engine import QuantizedViT
+
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    m = QuantizedViT(TINY, QuantConfig(), params=params)
+    m.calibrate(gaussian_calibration(2))
+    x = gaussian_calibration(2, seed=3)
+    ref = np.asarray(m(x))
+    path = str(tmp_path / "calib.npz")
+    m.save_calibration(path)
+
+    m2 = QuantizedViT(TINY, QuantConfig(), params=params)
+    m2.load_calibration(path)
+    got = np.asarray(m2(x))
+    np.testing.assert_array_equal(got, ref)
+    np.testing.assert_array_equal(m2.global_distance, m.global_distance)

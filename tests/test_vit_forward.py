@@ -36,8 +36,9 @@ def test_forward_fp_taps(setup):
     assert "blocks.0.attn.qkv" in names
     assert "blocks.1.mlp.fc2" in names
     assert "head" in names
-    # 1 patch + 6 per block * depth + 1 head
-    assert len(taps) == 1 + 6 * TINY.depth + 1
+    # 1 patch + 7 per block (qkv, attn-cache, probs, proj, fc1, mlp-cache,
+    # fc2) + 1 head
+    assert len(taps) == 1 + 7 * TINY.depth + 1
 
 
 def test_calibrate_and_forward_q(setup):
