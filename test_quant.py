@@ -44,6 +44,9 @@ def build_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--checkpoint", default=None,
                    help="local .pth/.npz weights (no-network environment)")
+    p.add_argument("--native-preproc", default=False, action="store_true",
+                   help="use the C++ preprocessing library (bit-exact vs the "
+                        "PIL path; parallel batch assembly outside the GIL)")
     p.add_argument("--hessian-batches", default=10, type=int)
     p.add_argument("--hessian-iter", default=150, type=int)
     p.add_argument("--val-limit", default=None, type=int,
@@ -83,7 +86,14 @@ def main(argv=None):
     model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
                          seed=args.seed)
     pp = preprocessing_for(args.model)
-    transform = build_transform(mean=pp.mean, std=pp.std, crop_pct=pp.crop_pct)
+    if args.native_preproc:
+        from diffvit_tpu.data.native_preproc import build_native_transform
+
+        transform = build_native_transform(mean=pp.mean, std=pp.std,
+                                           crop_pct=pp.crop_pct)
+    else:
+        transform = build_transform(mean=pp.mean, std=pp.std,
+                                    crop_pct=pp.crop_pct)
 
     valdir = os.path.join(args.data, "val")
     traindir = os.path.join(args.data, "train")
