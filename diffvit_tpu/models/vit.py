@@ -341,16 +341,10 @@ def _calib_smooth_linear(qp, dist, path, x, w, b, cfg: QuantConfig,
     return cand[-1]["gt"]
 
 
-def calibrate(params, spec: ViTSpec, cfg: QuantConfig, x):
-    """Single-batch calibration pass.  Returns (qparams, global_distance):
-    qparams a flat {path: array} dict; global_distance a (4*depth+1, 4) array
-    of per-linear per-bit weight L2 errors in reference order
-    [uint3, uint4, int4, int8]."""
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def _calibrate_embed(params, spec: ViTSpec, cfg: QuantConfig, x):
     qp: dict = {}
     dist: list = []
-    eps = spec.ln_eps
-    ob_ln = cfg.observer_a_ln
-
     if spec.input_quant:
         _calib_act_site(qp, "qact_input", x, cfg)
     pe = params["patch_embed"]
@@ -365,53 +359,89 @@ def calibrate(params, spec: ViTSpec, cfg: QuantConfig, x):
     _calib_act_site(qp, "qact_embed", h, cfg)
     _calib_act_site(qp, "qact_pos", params["pos_embed"], cfg)
     h = h + params["pos_embed"]
-    _calib_act_site(qp, "qact1", h, cfg, observer=ob_ln)
+    _calib_act_site(qp, "qact1", h, cfg, observer=cfg.observer_a_ln)
+    return h, qp
 
-    for i, blk in enumerate(params["blocks"]):
-        p = f"blocks.{i}"
-        # --- attention ---
-        y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
-        qkv = _calib_smooth_linear(qp, dist, f"{p}.attn.qkv", y,
-                                   blk["qkv"]["w"], blk["qkv"]["b"], cfg,
-                                   cfg.alpha_pool)
-        qkv = _calib_act_site(qp, f"{p}.attn.qact1", qkv, cfg)
 
-        def lis_fn(a):
-            scale = act_qparams(cfg.observer_a, a, cfg.bit_a)[0]
-            qp[f"{p}.attn.qact_attn1.scale"] = scale
-            qp[f"{p}.attn.qact_attn1.zp"] = jnp.zeros_like(scale)
-            if cfg.lis:
-                return log_int_softmax(a, scale, cfg.bit_s)
-            return jax.nn.softmax(a, axis=-1)
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def _calibrate_block(blk, spec: ViTSpec, cfg: QuantConfig, h):
+    """One block's calibration, jitted once and reused by all structurally
+    identical blocks (key to fast full-model calibration on TPU — a
+    monolithic trace compiles for minutes; eager per-op dispatch crawls over
+    the device tunnel).  Returns (h', qp with block-relative keys, dist)."""
+    qp: dict = {}
+    dist: list = []
+    eps = spec.ln_eps
+    ob_ln = cfg.observer_a_ln
 
-        y, _ = _sdpa(qkv, spec, lis_fn)
-        y = _calib_act_site(qp, f"{p}.attn.qact2", y, cfg)
-        _calib_weight_site(qp, dist, f"{p}.attn.proj.w", blk["proj"]["w"], y, cfg)
-        y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
-        _calib_act_site(qp, f"{p}.attn.qact3", y, cfg, observer=ob_ln)
-        h = h + y
-        _calib_act_site(qp, f"{p}.qact2", h, cfg, observer=ob_ln)
+    y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+    qkv = _calib_smooth_linear(qp, dist, "attn.qkv", y,
+                               blk["qkv"]["w"], blk["qkv"]["b"], cfg,
+                               cfg.alpha_pool)
+    qkv = _calib_act_site(qp, "attn.qact1", qkv, cfg)
 
-        # --- mlp ---
-        y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
-        y = _calib_smooth_linear(qp, dist, f"{p}.mlp.fc1", y,
-                                 blk["fc1"]["w"], blk["fc1"]["b"], cfg,
-                                 cfg.mlp_alpha_pool)
-        y = jax.nn.gelu(y, approximate=False)
-        y = _calib_act_site(qp, f"{p}.mlp.qact1", y, cfg)
-        _calib_weight_site(qp, dist, f"{p}.mlp.fc2.w", blk["fc2"]["w"], y, cfg)
-        y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
-        y = _calib_act_site(qp, f"{p}.mlp.qact2", y, cfg)
-        h = h + y
-        _calib_act_site(qp, f"{p}.qact4", h, cfg, observer=ob_ln)
+    def lis_fn(a):
+        scale = act_qparams(cfg.observer_a, a, cfg.bit_a)[0]
+        qp["attn.qact_attn1.scale"] = scale
+        qp["attn.qact_attn1.zp"] = jnp.zeros_like(scale)
+        if cfg.lis:
+            return log_int_softmax(a, scale, cfg.bit_s)
+        return jax.nn.softmax(a, axis=-1)
 
-    h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
+    y, _ = _sdpa(qkv, spec, lis_fn)
+    y = _calib_act_site(qp, "attn.qact2", y, cfg)
+    _calib_weight_site(qp, dist, "attn.proj.w", blk["proj"]["w"], y, cfg)
+    y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
+    _calib_act_site(qp, "attn.qact3", y, cfg, observer=ob_ln)
+    h = h + y
+    _calib_act_site(qp, "qact2", h, cfg, observer=ob_ln)
+
+    y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+    y = _calib_smooth_linear(qp, dist, "mlp.fc1", y,
+                             blk["fc1"]["w"], blk["fc1"]["b"], cfg,
+                             cfg.mlp_alpha_pool)
+    y = jax.nn.gelu(y, approximate=False)
+    y = _calib_act_site(qp, "mlp.qact1", y, cfg)
+    _calib_weight_site(qp, dist, "mlp.fc2.w", blk["fc2"]["w"], y, cfg)
+    y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
+    y = _calib_act_site(qp, "mlp.qact2", y, cfg)
+    h = h + y
+    _calib_act_site(qp, "qact4", h, cfg, observer=ob_ln)
+    return h, qp, jnp.asarray(dist)
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def _calibrate_tail(params, spec: ViTSpec, cfg: QuantConfig, h):
+    qp: dict = {}
+    dist: list = []
+    h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"],
+                        spec.ln_eps)[:, 0]
     h = _calib_act_site(qp, "qact2", h, cfg)
     _calib_weight_site(qp, dist, "head.w", params["head"]["w"], h, cfg)
     logits = h @ params["head"]["w"].T + params["head"]["b"]
     _calib_act_site(qp, "act_out", logits, cfg)
-
     return qp, jnp.asarray(dist)
+
+
+def calibrate(params, spec: ViTSpec, cfg: QuantConfig, x):
+    """Single-batch calibration pass.  Returns (qparams, global_distance):
+    qparams a flat {path: array} dict; global_distance a (4*depth+1, 4) array
+    of per-linear per-bit weight L2 errors in reference order
+    [uint3, uint4, int4, int8].
+
+    Orchestrated as embed + per-block + tail jitted stages: the 12
+    structurally identical blocks share one compiled executable."""
+    h, qp = _calibrate_embed(params, spec, cfg, jnp.asarray(x))
+    qp = dict(qp)
+    dists = []
+    for i, blk in enumerate(params["blocks"]):
+        h, qp_blk, dist_blk = _calibrate_block(blk, spec, cfg, h)
+        qp.update({f"blocks.{i}.{k}": v for k, v in qp_blk.items()})
+        dists.append(dist_blk)
+    qp_tail, dist_tail = _calibrate_tail(params, spec, cfg, h)
+    qp.update(qp_tail)
+    dist = jnp.concatenate(dists + [dist_tail])
+    return qp, dist
 
 
 # ---------------------------------------------------------------------------
