@@ -440,7 +440,8 @@ def calibrate(params, spec: SwinSpec, cfg: QuantConfig, x):
             _calib_weight_site(qp, dist, f"{p}.mlp.fc2.w", blk["fc2"]["w"],
                                y, cfg)
             y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
-            y = _calib_act_site(qp, f"{p}.mlp.qact2", y, cfg)
+            # Mlp.qact2 is a PTF site (layers_quant.py:186-191)
+            y = _calib_act_site(qp, f"{p}.mlp.qact2", y, cfg, observer=ob_ln)
             h = h + y
             h = _calib_act_site(qp, f"{p}.qact4", h, cfg, observer=ob_ln)
 

@@ -404,7 +404,8 @@ def _calibrate_block(blk, spec: ViTSpec, cfg: QuantConfig, h):
     y = _calib_act_site(qp, "mlp.qact1", y, cfg)
     _calib_weight_site(qp, dist, "mlp.fc2.w", blk["fc2"]["w"], y, cfg)
     y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
-    y = _calib_act_site(qp, "mlp.qact2", y, cfg)
+    # Mlp.qact2 is a PTF site (layers_quant.py:186-191: OBSERVER_A_LN)
+    y = _calib_act_site(qp, "mlp.qact2", y, cfg, observer=ob_ln)
     h = h + y
     _calib_act_site(qp, "qact4", h, cfg, observer=ob_ln)
     return h, qp, jnp.asarray(dist)
@@ -576,7 +577,16 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
         else:
             idx = cfg.bit_pool.index(b_fc1)
             out_scale = qp[f"{p}.mlp.fc1.qact0.scale"][idx]
-            out_ch = qp[f"{p}.mlp.fc1.sq.channel_scale"][idx]
+            # The reference passes the *attention's* SmoothQuant channel
+            # scale into norm2, not the MLP's (vit_fquant.py:464
+            # `self.attn.channel_scale`) — the LN emits on a grid the MLP
+            # then re-divides by its own channel scale.  Replicated exactly:
+            # the published accuracy baselines come from this behavior.
+            # (attn.channel_scale at this point is best_scale[idx(b_qkv)],
+            # or the calibration-final entry when b_qkv == -1; the entries
+            # coincide for the single-alpha pools.)
+            a_idx = cfg.bit_pool.index(b_qkv) if b_qkv != -1 else -1
+            out_ch = qp[f"{p}.attn.qkv.sq.channel_scale"][a_idx]
         y = _q_norm(qp, h, blk["norm2"], f"{p}.qact2",
                     out_scale if out_scale is not None
                     else qp.get(f"{p}.mlp.fc1.qact0.scale"),

@@ -109,7 +109,7 @@ def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
         b_qkv, b_proj, b_fc1, b_fc2 = bit_config[4 * i + 1: 4 * i + 5]
         ib = {"norm1": blk["norm1"], "norm2": blk["norm2"]}
 
-        def smooth_site(path, lin, bit):
+        def smooth_site(path, lin, bit, ln_ch=None):
             if bit == -1:
                 return {"w": lin["w"], "b": lin["b"], "fp": True}
             if cfg.smoothquant:
@@ -123,12 +123,19 @@ def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
                 s_x = qp[f"{path}.qact0.scale"]
                 sw = qp[f"{path}.w.int{bit}.scale"]
                 w_s = lin["w"]
-            return {
+            site = {
                 "w_int": _quant_w(w_s, sw, bit).T,  # (Cin, Cout)
                 "b": lin["b"], "fp": False,
                 "in_scale": ch * s_x,     # per-channel input quant grid
                 "mult": s_x * sw,         # int32 -> f32 output multiplier
             }
+            if ln_ch is not None and cfg.smoothquant:
+                # norm2 emits on the *attention's* channel scale
+                # (vit_fquant.py:464); the LN codes must be rescaled by
+                # ch_attn/ch_mlp before this matmul consumes them
+                site["ln_out_scale"] = s_x * ln_ch
+                site["ln_rescale"] = ln_ch / ch
+            return site
 
         def plain_site(path, lin, bit, in_scale):
             if bit == -1:
@@ -140,7 +147,11 @@ def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
         ib["qkv"] = smooth_site(f"{p}.attn.qkv", blk["qkv"], b_qkv)
         ib["proj"] = plain_site(f"{p}.attn.proj.w", blk["proj"], b_proj,
                                 qscale(f"{p}.attn.qact2"))
-        ib["fc1"] = smooth_site(f"{p}.mlp.fc1", blk["fc1"], b_fc1)
+        a_idx = cfg.bit_pool.index(b_qkv) if b_qkv != -1 else -1
+        attn_ch = qp[f"{p}.attn.qkv.sq.channel_scale"][a_idx] \
+            if cfg.smoothquant else None
+        ib["fc1"] = smooth_site(f"{p}.mlp.fc1", blk["fc1"], b_fc1,
+                                ln_ch=attn_ch)
         ib["fc2"] = plain_site(f"{p}.mlp.fc2.w", blk["fc2"], b_fc2,
                                qscale(f"{p}.mlp.qact1"))
         for k in ("attn.qact1", "attn.qact_attn1", "attn.qact2", "attn.qact3",
@@ -160,10 +171,12 @@ def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
     return ip
 
 
-def _ln_int8(x, ln, in_scale, out_scale_vec, eps, a_bits=8):
+def _ln_int8(x, ln, in_scale, out_scale_vec, eps, a_bits=8, rescale=None):
     """Integer LayerNorm emitting int8 codes on ``out_scale_vec`` grid —
     the M·2^-N math of ops/int_layernorm.int_layernorm with the final
-    dequant folded away."""
+    dequant folded away.  ``rescale``: optional per-channel grid conversion
+    applied to the raw LN codes before clipping (the reference's
+    attn-vs-mlp channel-scale mismatch at norm2, vit_fquant.py:464)."""
     c = x.shape[-1]
     in_scale = jnp.broadcast_to(jnp.asarray(in_scale), (c,))
     out_scale = jnp.broadcast_to(jnp.asarray(out_scale_vec), (c,))
@@ -179,6 +192,8 @@ def _ln_int8(x, ln, in_scale, out_scale_vec, eps, a_bits=8):
     b = jnp.round((ln["b"] - (mean / std)[..., None] * ln["w"])
                   / out_scale * (2.0**n))
     y = jnp.round((jnp.sign(a) * m * x_q + b) / (2.0**n))
+    if rescale is not None:
+        y = jnp.round(y * rescale)
     lb, ub = -(2 ** (a_bits - 1)), 2 ** (a_bits - 1) - 1
     return jnp.clip(y, lb, ub).astype(I8)
 
@@ -303,7 +318,9 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
         else:
             if cfg.int_norm and b_fc2 != -1:
                 x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
-                                fc1_site["in_scale"], eps)
+                                fc1_site.get("ln_out_scale",
+                                             fc1_site["in_scale"]), eps,
+                                rescale=fc1_site.get("ln_rescale"))
             else:
                 y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
                 x_i8 = _requant_i8(y, fc1_site["in_scale"])
