@@ -22,7 +22,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deit_small")
     ap.add_argument("--bits", default=4, type=int)
-    ap.add_argument("--batch", default=256, type=int)
+    ap.add_argument("--batch", default=192, type=int,
+                    help="192 is the measured throughput sweet spot on v5e-1")
     ap.add_argument("--steps", default=30, type=int)
     ap.add_argument("--warmup", default=5, type=int)
     ap.add_argument("--path", default="int", choices=["int", "fake"],

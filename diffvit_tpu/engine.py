@@ -85,6 +85,38 @@ class QuantizedViT:
             self.qparams = mesh_mod.shard_replicated(self.mesh, self.qparams)
         return self.qparams
 
+    # -- integer execution path -------------------------------------------
+    def prepare_int(self, bit_config=None):
+        """Bake the calibrated model into the integer execution path (real
+        int8 MXU matmuls) for ``bit_config``; cached per config.  For Swin,
+        bit_config is the uniform weight bit."""
+        if self.qparams is None:
+            raise RuntimeError("calibrate first")
+        if self.is_swin:
+            from .models import swin_int as int_mod
+
+            bit = int(bit_config) if bit_config is not None \
+                else self.cfg.bit_w.bits
+            key = ("int", bit)
+            if key not in self._jit_cache:
+                ip = int_mod.prepare_int(self.params, self.qparams,
+                                         self.spec, self.cfg, bit)
+                self._jit_cache[key] = jax.jit(
+                    lambda x: int_mod.forward_q_int(ip, self.spec,
+                                                    self.cfg, x))
+            return self._jit_cache[key]
+        from .models import vit_int
+
+        if bit_config is not None:
+            bit_config = tuple(int(b) for b in bit_config)
+        key = ("int", bit_config)
+        if key not in self._jit_cache:
+            ip = vit_int.prepare_int(self.params, self.qparams, self.spec,
+                                     self.cfg, bit_config)
+            self._jit_cache[key] = jax.jit(
+                lambda x: vit_int.forward_q_int(ip, self.spec, self.cfg, x))
+        return self._jit_cache[key]
+
     # -- forwards ---------------------------------------------------------
     def _forward_fn(self, quant: bool, bit_config):
         key = (quant, bit_config)
@@ -103,12 +135,14 @@ class QuantizedViT:
             self._jit_cache[key] = jfn
         return self._jit_cache[key]
 
-    def __call__(self, x, bit_config=None, quant=True):
+    def __call__(self, x, bit_config=None, quant=True, use_int=False):
         x = jnp.asarray(x)
         if self.mesh is not None:
             x = jax.device_put(x, mesh_mod.batch_sharding(self.mesh))
         if quant and self.qparams is None:
             raise RuntimeError("model not calibrated; call .calibrate() first")
+        if use_int and quant:
+            return self.prepare_int(bit_config)(x)
         if self.is_swin:
             if quant and bit_config is None:
                 bit_config = self.cfg.bit_w.bits
@@ -129,15 +163,17 @@ class QuantizedViT:
 
 
 def validate(model: QuantizedViT, loader, bit_config=None, quant=True,
-             print_freq=100, log=print):
+             print_freq=100, log=print, use_int=False):
     """Full validation epoch with the reference's progress/report format
-    (test_quant.py:418-466).  Returns (loss_avg, prec1_avg, prec5_avg)."""
+    (test_quant.py:418-466).  Returns (loss_avg, prec1_avg, prec5_avg).
+    use_int: run the real-integer MXU path instead of fake-quant."""
     batch_time, losses = AverageMeter(), AverageMeter()
     top1, top5 = AverageMeter(), AverageMeter()
     val_start = end = time.time()
     n_batches = len(loader) if hasattr(loader, "__len__") else None
     for i, (data, target) in enumerate(loader):
-        output = np.asarray(model(data, bit_config=bit_config, quant=quant))
+        output = np.asarray(model(data, bit_config=bit_config, quant=quant,
+                                  use_int=use_int))
         loss = cross_entropy(output, target)
         prec1, prec5 = accuracy(output, target, topk=(1, 5))
         n = len(target)

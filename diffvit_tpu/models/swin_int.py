@@ -1,0 +1,207 @@
+"""Integer execution path for Swin (real int8 MXU matmuls).
+
+Mirrors models/swin.forward_q with the same numerical contract as
+models/vit_int: weights quantized to int8 codes, activations requantized to
+int8 before every matmul, integer LayerNorm emitting int8 directly on the
+consumer grid, PoT requant epilogues in f32.  Elementwise glue (relative
+position bias, shift masks, LIS, residuals, PTF fences) stays in f32 exactly
+as the fake-quant semantics dictate.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import QuantConfig
+from ..ops.bit_types import BIT_TYPE_DICT
+from ..ops.int_layernorm import float_layernorm, int_layernorm
+from ..ops.lis import log_int_softmax
+from ..ops.quant import fake_quant
+from .swin import (SwinSpec, _merge_patches, _unwindows, _windows,
+                   block_geometry, relative_position_index, swin_patchify)
+from .vit_int import I8, I32, _int_dot, _ln_int8, _quant_w, _requant_i8
+
+
+def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
+    """Bake the calibrated Swin into integer weights + requant scales for
+    uniform weight bit ``bit``."""
+    bit = int(bit) if bit is not None else cfg.bit_w.bits
+
+    def w_site(path, lin):
+        sw = qp[f"{path}.scale"]
+        site = {"w_int": _quant_w(lin["w"], sw, bit).T, "sw": sw}
+        site["b"] = lin.get("b")
+        return site
+
+    ip = {"bit": bit, "layers": [], "qp": qp}
+    pe = params["patch_embed"]
+    ip["patch"] = w_site(f"patch.w.int{bit}", pe["proj"])
+    ip["patch_norm"] = pe["norm"]
+    for s, stage in enumerate(params["layers"]):
+        st = {"blocks": [], "downsample": None}
+        for bi, blk in enumerate(stage["blocks"]):
+            p = f"layers.{s}.blocks.{bi}"
+            st["blocks"].append({
+                "norm1": blk["norm1"], "norm2": blk["norm2"],
+                "qkv": w_site(f"{p}.attn.qkv.w.int{bit}", blk["qkv"]),
+                "proj": w_site(f"{p}.attn.proj.w.int{bit}", blk["proj"]),
+                "fc1": w_site(f"{p}.mlp.fc1.w.int{bit}", blk["fc1"]),
+                "fc2": w_site(f"{p}.mlp.fc2.w.int{bit}", blk["fc2"]),
+                "rel_bias_table": blk["rel_bias_table"],
+            })
+        if stage["downsample"] is not None:
+            ds = stage["downsample"]
+            st["downsample"] = {
+                "norm": ds["norm"],
+                "reduction": w_site(f"layers.{s}.downsample.reduction.w.int{bit}",
+                                    ds["reduction"]),
+            }
+        ip["layers"].append(st)
+    ip["norm"] = params["norm"]
+    ip["head"] = w_site(f"head.w.int{bit}", params["head"])
+    return ip
+
+
+def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x):
+    qp = ip["qp"]
+    bt_a = cfg.bit_a
+    eps = spec.ln_eps
+
+    def s(path):
+        return qp[f"{path}.scale"]
+
+    def fq(path, t):
+        return fake_quant(t, s(path), qp[f"{path}.zp"], bt_a)
+
+    def int_linear(site, x_i8, in_scale):
+        y = _int_dot(x_i8, site["w_int"]).astype(jnp.float32) \
+            * (in_scale * site["sw"])
+        if site["b"] is not None:
+            y = y + site["b"]
+        return y
+
+    if spec.input_quant:
+        x = fq("qact_input", x)
+    patches = swin_patchify(x, spec)
+    p_i8 = _requant_i8(patches, s("qact_input")) if spec.input_quant \
+        else None
+    if p_i8 is not None:
+        h = int_linear(ip["patch"], p_i8, s("qact_input"))
+    else:
+        wdq = ip["patch"]["w_int"].astype(jnp.float32).T * (
+            ip["patch"]["sw"][:, None] if ip["patch"]["sw"].ndim else
+            ip["patch"]["sw"])
+        h = patches @ wdq.T + ip["patch"]["b"]
+    if ip["patch_norm"] is not None:
+        h = fq("patch.qact_bn", h)
+        if cfg.int_norm:
+            h = int_layernorm(h, ip["patch_norm"]["w"], ip["patch_norm"]["b"],
+                              s("patch.qact_bn"), s("patch.qact"))
+        else:
+            h = float_layernorm(h, ip["patch_norm"]["w"],
+                                ip["patch_norm"]["b"], eps)
+    h = fq("patch.qact", h)
+    last_q = "patch.qact"
+
+    for si, st in enumerate(ip["layers"]):
+        for bi, ib in enumerate(st["blocks"]):
+            p = f"layers.{si}.blocks.{bi}"
+            geom = block_geometry(spec, si, bi)
+            res, ws, shift, mask = geom
+            nh = spec.num_heads[si]
+            shortcut = h
+
+            if cfg.int_norm:
+                x_i8 = _ln_int8(h, ib["norm1"], s(last_q), s(f"{p}.qact1"), eps)
+            else:
+                y = fq(f"{p}.qact1",
+                       float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps))
+                x_i8 = _requant_i8(y, s(f"{p}.qact1"))
+            yw_i8 = _windows(x_i8, res, ws, shift)  # int8 reshapes
+            b_, n, c = yw_i8.shape[0], ws * ws, yw_i8.shape[-1]
+
+            qkv = int_linear(ib["qkv"], yw_i8, s(f"{p}.qact1"))
+            qkv = fq(f"{p}.attn.qact1", qkv)
+            s1 = s(f"{p}.attn.qact1")
+            qkv_i8 = _requant_i8(qkv, s1)
+            hd = c // nh
+            qkv_h = qkv_i8.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q8, k8, v8 = qkv_h[0], qkv_h[1], qkv_h[2]
+            a32 = jax.lax.dot_general(
+                q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
+                preferred_element_type=I32)
+            attn = a32.astype(jnp.float32) * (s1 * s1 * hd**-0.5)
+            attn = fq(f"{p}.attn.qact_attn1", attn)
+
+            table_q = fq(f"{p}.attn.qact_table", ib["rel_bias_table"])
+            idx = relative_position_index(ws).reshape(-1)
+            bias = table_q[idx].reshape(n, n, nh).transpose(2, 0, 1)
+            attn = attn + bias[None]
+            attn = fq(f"{p}.attn.qact2", attn)
+            if mask is not None:
+                nw = mask.shape[0]
+                attn = attn.reshape(b_ // nw, nw, nh, n, n) + \
+                    jnp.asarray(mask)[None, :, None]
+                attn = attn.reshape(-1, nh, n, n)
+            if cfg.lis:
+                # LIS codes (2^-q) are exact in bf16 -> bf16 MXU matmul
+                attn = log_int_softmax(attn, s(f"{p}.attn.qact2"),
+                                       cfg.bit_s).astype(jnp.bfloat16)
+                v_op = v8.astype(jnp.bfloat16)
+            else:
+                # float softmax probs are not bf16-exact; stay in f32
+                attn = jax.nn.softmax(attn, axis=-1)
+                v_op = v8.astype(jnp.float32)
+            o = jax.lax.dot_general(
+                attn, v_op, (((3,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32)
+            o = o.transpose(0, 2, 1, 3).reshape(b_, n, c) * s1
+            o = fq(f"{p}.attn.qact3", o)
+            o_i8 = _requant_i8(o, s(f"{p}.attn.qact3"))
+            y = int_linear(ib["proj"], o_i8, s(f"{p}.attn.qact3"))
+            y = fq(f"{p}.attn.qact4", y)
+
+            h = shortcut + _unwindows(y, res, ws, shift, h.shape[0])
+            h = fq(f"{p}.qact2", h)
+
+            if cfg.int_norm:
+                x_i8 = _ln_int8(h, ib["norm2"], s(f"{p}.qact2"),
+                                s(f"{p}.qact3"), eps)
+            else:
+                yf = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
+                x_i8 = _requant_i8(fq(f"{p}.qact3", yf), s(f"{p}.qact3"))
+            y = int_linear(ib["fc1"], x_i8, s(f"{p}.qact3"))
+            y = jax.nn.gelu(y, approximate=False)
+            y = fq(f"{p}.mlp.qact1", y)
+            y_i8 = _requant_i8(y, s(f"{p}.mlp.qact1"))
+            y = int_linear(ib["fc2"], y_i8, s(f"{p}.mlp.qact1"))
+            y = fq(f"{p}.mlp.qact2", y)
+            h = h + y
+            h = fq(f"{p}.qact4", h)
+            last_q = f"{p}.qact4"
+
+        if st["downsample"] is not None:
+            ds = st["downsample"]
+            p = f"layers.{si}.downsample"
+            h = _merge_patches(h, spec.stage_resolution(si))
+            if cfg.int_norm:
+                x_i8 = _ln_int8(h, ds["norm"], jnp.tile(s(last_q), 4),
+                                s(f"{p}.qact1"), eps)
+            else:
+                yf = float_layernorm(h, ds["norm"]["w"], ds["norm"]["b"], eps)
+                x_i8 = _requant_i8(fq(f"{p}.qact1", yf), s(f"{p}.qact1"))
+            h = int_linear(ds["reduction"], x_i8, s(f"{p}.qact1"))
+            h = fq(f"{p}.qact2", h)
+            last_q = f"{p}.qact2"
+
+    if cfg.int_norm:
+        x_i8 = _ln_int8(h, ip["norm"], s(last_q), s("qact2"), eps)
+        h = x_i8.astype(jnp.float32) * s("qact2")
+    else:
+        h = fq("qact2", float_layernorm(h, ip["norm"]["w"], ip["norm"]["b"], eps))
+    h = jnp.mean(h, axis=1)
+    h = fq("qact3", h)
+    h_i8 = _requant_i8(h, s("qact3"))
+    logits = _int_dot(h_i8, ip["head"]["w_int"]).astype(jnp.float32) \
+        * (s("qact3") * ip["head"]["sw"]) + ip["head"]["b"]
+    return fq("act_out", logits)

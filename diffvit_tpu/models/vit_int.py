@@ -293,11 +293,15 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
                           * (s1 * s1 * spec.attn_scale / s_a)),
                 bt_a.lower_bound, bt_a.upper_bound)
             if cfg.lis:
+                # LIS codes (2^-q) are exact in bf16 -> bf16 MXU matmul
                 attn = log_int_softmax_from_int(a_int, s_a, bt_s).astype(jnp.bfloat16)
+                v_op = v8.astype(jnp.bfloat16)
             else:
-                attn = jax.nn.softmax(a_int * s_a, axis=-1).astype(jnp.bfloat16)
+                # float softmax probs are not bf16-exact; stay in f32
+                attn = jax.nn.softmax(a_int * s_a, axis=-1)
+                v_op = v8.astype(jnp.float32)
             o = jax.lax.dot_general(
-                attn, v8.astype(jnp.bfloat16), (((3,), (2,)), ((0, 1), (0, 1))),
+                attn, v_op, (((3,), (2,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32)
             o = o.transpose(0, 2, 1, 3).reshape(B, N, spec.embed_dim) * s1
             if proj_site["fp"]:

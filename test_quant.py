@@ -44,6 +44,9 @@ def build_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--checkpoint", default=None,
                    help="local .pth/.npz weights (no-network environment)")
+    p.add_argument("--int-path", default=False, action="store_true",
+                   help="run real int8 MXU execution instead of the "
+                        "reference-style fake-quant simulation")
     p.add_argument("--native-preproc", default=False, action="store_true",
                    help="use the C++ preprocessing library (bit-exact vs the "
                         "PIL path; parallel batch assembly outside the GIL)")
@@ -146,7 +149,8 @@ def main(argv=None):
     def evaluate(bit_config):
         print(bit_config)
         _, prec1, _ = validate(model, val_loader, tuple(bit_config),
-                               quant=args.quant, print_freq=args.print_freq)
+                               quant=args.quant, print_freq=args.print_freq,
+                               use_int=args.int_path)
         print("")
         return prec1
 
@@ -177,7 +181,8 @@ def main(argv=None):
             bit_config = [cfg.bit_w.bits] * vit_mod.num_bit_slots(model.spec)
         print(bit_config)
         validate(model, val_loader, bit_config, quant=args.quant,
-                 print_freq=args.print_freq)
+                 print_freq=args.print_freq,
+                 use_int=args.int_path and args.quant)
 
 
 if __name__ == "__main__":

@@ -95,3 +95,28 @@ def test_swin_engine_and_shifted_stage():
     out = model(x, quant=False)
     assert out.shape == (1, 1000)
     assert len(model.flops) == swin.num_bit_slots(model.spec)
+
+
+def test_swin_int_path_matches_fake_quant(setup):
+    from diffvit_tpu.models import swin_int
+
+    params, x = setup
+    cfg = QuantConfig()
+    qp, _ = swin.calibrate(params, TINY, cfg, x)
+    for bit in (8, 4):
+        ref = np.asarray(swin.forward_q(params, qp, TINY, cfg, x, bit=bit))
+        ip = swin_int.prepare_int(params, qp, TINY, cfg, bit=bit)
+        got = np.asarray(swin_int.forward_q_int(ip, TINY, cfg, x))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_swin_int_path_no_ptf(setup):
+    from diffvit_tpu.models import swin_int
+
+    params, x = setup
+    cfg = QuantConfig(ptf=False, lis=False)
+    qp, _ = swin.calibrate(params, TINY, cfg, x)
+    ref = np.asarray(swin.forward_q(params, qp, TINY, cfg, x, bit=8))
+    ip = swin_int.prepare_int(params, qp, TINY, cfg, bit=8)
+    got = np.asarray(swin_int.forward_q_int(ip, TINY, cfg, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
