@@ -113,15 +113,18 @@ def minmax_weight_qparams(w2d, x_in, bit_type: BitType, channel_wise: bool):
     return scale, zp
 
 
-def minmax_act_qparams(x, bit_type: BitType, attn_replay=None):
+def minmax_act_qparams(x, bit_type: BitType, attn_replay=None, stats=None):
     """Scale/zp for an activation site (layer-wise, symmetric) via minmax +
     PoT search scoring the (optionally attention-replayed) tensor itself
     (minmax.py:139-152,180-242 activation path).
 
     attn_replay: optional fn(x)->tensor replaying qkv->softmax->v so the
     candidate is scored through attention (get_attn, minmax.py:77-117).
+    stats: optional running (max, min) from multi-batch observation; the
+    candidate scoring always uses the final batch ``x`` (the reference's
+    self.input).
     """
-    mx, mn = act_minmax(x, channel_wise=False)
+    mx, mn = stats if stats is not None else act_minmax(x, channel_wise=False)
     base = _symmetric_base_scale(mx, mn, bit_type)
     af = round_ln(base, "floor")
 
@@ -150,15 +153,19 @@ def _plain_symmetric(mx, mn, bit_type: BitType):
     return scale, jnp.zeros_like(scale)
 
 
-def ema_act_qparams(x, bit_type: BitType):
-    mx, mn = act_minmax(x, channel_wise=False)
+def ema_act_qparams(x, bit_type: BitType, stats=None):
+    mx, mn = stats if stats is not None else act_minmax(x, channel_wise=False)
     return _plain_symmetric(mx, mn, bit_type)
 
 
-def percentile_act_qparams(x, bit_type: BitType, alpha: float = 0.99999):
-    flat = x.reshape(-1)
-    mx = jnp.quantile(flat, alpha)
-    mn = jnp.quantile(flat, 1.0 - alpha)
+def percentile_act_qparams(x, bit_type: BitType, alpha: float = 0.99999,
+                           stats=None):
+    if stats is not None:
+        mx, mn = stats
+    else:
+        flat = x.reshape(-1)
+        mx = jnp.quantile(flat, alpha)
+        mn = jnp.quantile(flat, 1.0 - alpha)
     return _plain_symmetric(mx, mn, bit_type)
 
 
@@ -167,8 +174,8 @@ def percentile_act_qparams(x, bit_type: BitType, alpha: float = 0.99999):
 # Always the asymmetric scale/zp formula, even for signed types.
 # ---------------------------------------------------------------------------
 
-def omse_act_qparams(x, bit_type: BitType):
-    mx, mn = act_minmax(x, channel_wise=False)
+def omse_act_qparams(x, bit_type: BitType, stats=None):
+    mx, mn = stats if stats is not None else act_minmax(x, channel_wise=False)
     qmax, qmin = bit_type.upper_bound, bit_type.lower_bound
 
     def step(i, best):
@@ -198,7 +205,7 @@ def omse_act_qparams(x, bit_type: BitType):
 # the active reference code) and a per-channel factor mask ∈ {1,2,4,8}.
 # ---------------------------------------------------------------------------
 
-def ptf_act_qparams(x, bit_type: BitType):
+def ptf_act_qparams(x, bit_type: BitType, stats=None):
     """x: (..., C).  Returns (scale (C,), zero_point scalar 0).
     scale = scale1 * mask where scale1 = scale8/8 and per-channel mask chooses
     among {scale1, scale2, scale4, scale8} by L2 quantization error
@@ -206,7 +213,10 @@ def ptf_act_qparams(x, bit_type: BitType):
     4 full-tensor quantizations and argmin per column."""
     qmax, qmin = bit_type.upper_bound, bit_type.lower_bound
     flat = x.reshape(-1, x.shape[-1])
-    max_t = jnp.maximum(-jnp.min(flat), jnp.max(flat))
+    if stats is not None:
+        max_t = jnp.maximum(-jnp.min(stats[1]), jnp.max(stats[0]))
+    else:
+        max_t = jnp.maximum(-jnp.min(flat), jnp.max(flat))
     scale8 = jnp.maximum(2.0 * max_t / float(qmax - qmin), _EPS)
     scale1 = scale8 / 8.0
 
@@ -234,12 +244,44 @@ ACT_OBSERVERS = {
 }
 
 
-def act_qparams(observer: str, x, bit_type: BitType, attn_replay=None):
+def act_qparams(observer: str, x, bit_type: BitType, attn_replay=None,
+                stats=None):
     """Compute (scale, zp) for an activation site with the named observer.
-    Only minmax consumes ``attn_replay`` (minmax.py:142-152)."""
+    Only minmax consumes ``attn_replay`` (minmax.py:142-152).  ``stats``:
+    optional running observation state (multi-batch calibration)."""
     if observer == "minmax":
-        return minmax_act_qparams(x, bit_type, attn_replay=attn_replay)
-    return ACT_OBSERVERS[observer](x, bit_type)
+        return minmax_act_qparams(x, bit_type, attn_replay=attn_replay,
+                                  stats=stats)
+    return ACT_OBSERVERS[observer](x, bit_type, stats=stats)
+
+
+# ---------------------------------------------------------------------------
+# Multi-batch observation state (the reference's commented-out calib loop,
+# test_quant.py:238-243: observers update on every batch, the last batch
+# finalizes).  State semantics per observer class:
+#   minmax/omse: running max/min (minmax.py:24-39, omse.py:14-29)
+#   ptf:         running per-channel max/min (ptf.py:14-31)
+#   ema:         EMA with sigma=0.01 (ema.py:19-36)
+#   percentile:  EMA of the quantiles (percentile.py:23-49)
+# ---------------------------------------------------------------------------
+
+def act_stats_update(observer: str, state, x, percentile_alpha=0.99999):
+    if observer in ("minmax", "omse", "ema"):
+        mx, mn = act_minmax(x, channel_wise=False)
+    elif observer == "ptf":
+        mx, mn = act_minmax(x, channel_wise=True)
+    elif observer == "percentile":
+        flat = x.reshape(-1)
+        mx = jnp.quantile(flat, percentile_alpha)
+        mn = jnp.quantile(flat, 1.0 - percentile_alpha)
+    else:
+        raise KeyError(observer)
+    if state is None:
+        return (mx, mn)
+    if observer in ("ema", "percentile"):
+        return (state[0] + 0.01 * (mx - state[0]),
+                state[1] + 0.01 * (mn - state[1]))
+    return (jnp.maximum(state[0], mx), jnp.minimum(state[1], mn))
 
 
 # Jitted entry points: calibration is orchestrated eagerly at the model level

@@ -54,7 +54,22 @@ class QuantizedViT:
 
     # -- calibration ------------------------------------------------------
     def calibrate(self, batch):
-        """Single-batch calibration (test_quant.py:234-249)."""
+        """Calibration (test_quant.py:234-249).  ``batch``: one array
+        (single-batch protocol, the reference's active path) or a list of
+        arrays (multi-batch observe-then-finalize, the reference's intended
+        --calib-iter protocol; ViT/DeiT only)."""
+        if isinstance(batch, (list, tuple)):
+            if self.is_swin:
+                raise NotImplementedError(
+                    "multi-batch calibration is ViT/DeiT only")
+            qp, dist = vit_mod.calibrate_batches(
+                self.params, self.spec, self.cfg,
+                [jnp.asarray(b) for b in batch])
+            if self.mesh is not None:
+                qp = mesh_mod.shard_replicated(self.mesh, qp)
+            self.qparams = jax.tree.map(lambda a: a, qp)
+            self.global_distance = np.asarray(dist)
+            return self.qparams
         batch = jnp.asarray(batch)
         # Eager orchestration over jitted per-site primitives: identical
         # block shapes share compiled kernels (see calib/observers.py).

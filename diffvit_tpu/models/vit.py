@@ -52,7 +52,8 @@ from ..ops.bit_types import BIT_TYPE_DICT, CALIB_WEIGHT_BIT_TYPES, BitType
 from ..ops.int_layernorm import float_layernorm, int_layernorm
 from ..ops.lis import log_int_softmax
 from ..ops.quant import fake_quant, round_ln
-from ..calib.observers import act_qparams, minmax_weight_qparams
+from ..calib.observers import (act_qparams, act_stats_update,
+                               minmax_weight_qparams)
 
 
 # ---------------------------------------------------------------------------
@@ -270,19 +271,30 @@ def _calib_weight_site(qp, dist, path, w2d, x_in, cfg: QuantConfig,
 
 
 def _calib_act_site(qp, path, x, cfg: QuantConfig, observer=None,
-                    bit_type=None):
+                    bit_type=None, stats=None):
     """Observe + finalize an activation site; returns x unchanged (QAct is a
-    passthrough during calibration, layers.py:207-218)."""
+    passthrough during calibration, layers.py:207-218).  ``stats``: running
+    observation state dict from prior calibration batches (keyed by path)."""
     observer = observer or cfg.observer_a
     bit_type = bit_type or cfg.bit_a
-    scale, zp = act_qparams(observer, x, bit_type)
+    prior = None
+    if stats is not None and path in stats:
+        prior = act_stats_update(observer, stats[path], x)
+    scale, zp = act_qparams(observer, x, bit_type, stats=prior)
     qp[f"{path}.scale"] = scale
     qp[f"{path}.zp"] = zp
     return x
 
 
+def _observe_act_site(states, path, x, cfg: QuantConfig, observer=None):
+    """Stats-only update for a multi-batch observation pass."""
+    observer = observer or cfg.observer_a
+    states[path] = act_stats_update(observer, states.get(path), x)
+    return x
+
+
 def _calib_smooth_linear(qp, dist, path, x, w, b, cfg: QuantConfig,
-                         alpha_pool):
+                         alpha_pool, stats=None):
     """SmoothQuant calibration for qkv/fc1 (vit_fquant.py:196-279,
     layers_quant.py:221-303).  For each alpha candidate: derive the PoT
     channel scale, observe the smoothed activation, sweep weight bits; score
@@ -292,7 +304,7 @@ def _calib_smooth_linear(qp, dist, path, x, w, b, cfg: QuantConfig,
     (``gt``), which is what flows onward during calibration."""
     n_pool = len(cfg.bit_pool)
     if not cfg.smoothquant:
-        x = _calib_act_site(qp, f"{path}.qact0", x, cfg)
+        x = _calib_act_site(qp, f"{path}.qact0", x, cfg, stats=stats)
         _calib_weight_site(qp, dist, f"{path}.w", w, x, cfg)
         return x @ w.T + b
 
@@ -302,7 +314,11 @@ def _calib_smooth_linear(qp, dist, path, x, w, b, cfg: QuantConfig,
         x_s = x / ch
         w_s = w * ch
         gt = x_s @ w_s.T + b
-        a_scale, a_zp = act_qparams(cfg.observer_a, x_s, cfg.bit_a)
+        prior = None
+        if stats is not None and f"{path}.qact0" in stats:
+            prior = act_stats_update(cfg.observer_a, stats[f"{path}.qact0"], x_s)
+        a_scale, a_zp = act_qparams(cfg.observer_a, x_s, cfg.bit_a,
+                                    stats=prior)
         wq = {}
         wdist = []
         for bt in CALIB_WEIGHT_BIT_TYPES:
@@ -342,29 +358,30 @@ def _calib_smooth_linear(qp, dist, path, x, w, b, cfg: QuantConfig,
 
 
 @partial(jax.jit, static_argnames=("spec", "cfg"))
-def _calibrate_embed(params, spec: ViTSpec, cfg: QuantConfig, x):
+def _calibrate_embed(params, spec: ViTSpec, cfg: QuantConfig, x, stats=None):
     qp: dict = {}
     dist: list = []
     if spec.input_quant:
-        _calib_act_site(qp, "qact_input", x, cfg)
+        _calib_act_site(qp, "qact_input", x, cfg, stats=stats)
     pe = params["patch_embed"]
     patches = patchify(x, spec)
     _calib_weight_site(qp, dist, "patch.w", pe["w"], patches, cfg,
                        record_distance=False)
     h = patches @ pe["w"].T + pe["b"]
-    _calib_act_site(qp, "patch.qact", h, cfg)
+    _calib_act_site(qp, "patch.qact", h, cfg, stats=stats)
 
     cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
     h = jnp.concatenate([cls, h], axis=1)
-    _calib_act_site(qp, "qact_embed", h, cfg)
-    _calib_act_site(qp, "qact_pos", params["pos_embed"], cfg)
+    _calib_act_site(qp, "qact_embed", h, cfg, stats=stats)
+    _calib_act_site(qp, "qact_pos", params["pos_embed"], cfg, stats=stats)
     h = h + params["pos_embed"]
-    _calib_act_site(qp, "qact1", h, cfg, observer=cfg.observer_a_ln)
+    _calib_act_site(qp, "qact1", h, cfg, observer=cfg.observer_a_ln,
+                    stats=stats)
     return h, qp
 
 
 @partial(jax.jit, static_argnames=("spec", "cfg"))
-def _calibrate_block(blk, spec: ViTSpec, cfg: QuantConfig, h):
+def _calibrate_block(blk, spec: ViTSpec, cfg: QuantConfig, h, stats=None):
     """One block's calibration, jitted once and reused by all structurally
     identical blocks (key to fast full-model calibration on TPU — a
     monolithic trace compiles for minutes; eager per-op dispatch crawls over
@@ -377,11 +394,14 @@ def _calibrate_block(blk, spec: ViTSpec, cfg: QuantConfig, h):
     y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
     qkv = _calib_smooth_linear(qp, dist, "attn.qkv", y,
                                blk["qkv"]["w"], blk["qkv"]["b"], cfg,
-                               cfg.alpha_pool)
-    qkv = _calib_act_site(qp, "attn.qact1", qkv, cfg)
+                               cfg.alpha_pool, stats=stats)
+    qkv = _calib_act_site(qp, "attn.qact1", qkv, cfg, stats=stats)
 
     def lis_fn(a):
-        scale = act_qparams(cfg.observer_a, a, cfg.bit_a)[0]
+        prior = None
+        if stats is not None and "attn.qact_attn1" in stats:
+            prior = act_stats_update(cfg.observer_a, stats["attn.qact_attn1"], a)
+        scale = act_qparams(cfg.observer_a, a, cfg.bit_a, stats=prior)[0]
         qp["attn.qact_attn1.scale"] = scale
         qp["attn.qact_attn1.zp"] = jnp.zeros_like(scale)
         if cfg.lis:
@@ -389,60 +409,189 @@ def _calibrate_block(blk, spec: ViTSpec, cfg: QuantConfig, h):
         return jax.nn.softmax(a, axis=-1)
 
     y, _ = _sdpa(qkv, spec, lis_fn)
-    y = _calib_act_site(qp, "attn.qact2", y, cfg)
+    y = _calib_act_site(qp, "attn.qact2", y, cfg, stats=stats)
     _calib_weight_site(qp, dist, "attn.proj.w", blk["proj"]["w"], y, cfg)
     y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
-    _calib_act_site(qp, "attn.qact3", y, cfg, observer=ob_ln)
+    _calib_act_site(qp, "attn.qact3", y, cfg, observer=ob_ln, stats=stats)
     h = h + y
-    _calib_act_site(qp, "qact2", h, cfg, observer=ob_ln)
+    _calib_act_site(qp, "qact2", h, cfg, observer=ob_ln, stats=stats)
 
     y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
     y = _calib_smooth_linear(qp, dist, "mlp.fc1", y,
                              blk["fc1"]["w"], blk["fc1"]["b"], cfg,
-                             cfg.mlp_alpha_pool)
+                             cfg.mlp_alpha_pool, stats=stats)
     y = jax.nn.gelu(y, approximate=False)
-    y = _calib_act_site(qp, "mlp.qact1", y, cfg)
+    y = _calib_act_site(qp, "mlp.qact1", y, cfg, stats=stats)
     _calib_weight_site(qp, dist, "mlp.fc2.w", blk["fc2"]["w"], y, cfg)
     y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
     # Mlp.qact2 is a PTF site (layers_quant.py:186-191: OBSERVER_A_LN)
-    y = _calib_act_site(qp, "mlp.qact2", y, cfg, observer=ob_ln)
+    y = _calib_act_site(qp, "mlp.qact2", y, cfg, observer=ob_ln, stats=stats)
     h = h + y
-    _calib_act_site(qp, "qact4", h, cfg, observer=ob_ln)
+    _calib_act_site(qp, "qact4", h, cfg, observer=ob_ln, stats=stats)
     return h, qp, jnp.asarray(dist)
 
 
 @partial(jax.jit, static_argnames=("spec", "cfg"))
-def _calibrate_tail(params, spec: ViTSpec, cfg: QuantConfig, h):
+def _calibrate_tail(params, spec: ViTSpec, cfg: QuantConfig, h, stats=None):
     qp: dict = {}
     dist: list = []
     h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"],
                         spec.ln_eps)[:, 0]
-    h = _calib_act_site(qp, "qact2", h, cfg)
+    h = _calib_act_site(qp, "qact2", h, cfg, stats=stats)
     _calib_weight_site(qp, dist, "head.w", params["head"]["w"], h, cfg)
     logits = h @ params["head"]["w"].T + params["head"]["b"]
-    _calib_act_site(qp, "act_out", logits, cfg)
+    _calib_act_site(qp, "act_out", logits, cfg, stats=stats)
     return qp, jnp.asarray(dist)
 
 
-def calibrate(params, spec: ViTSpec, cfg: QuantConfig, x):
+# ---------------------------------------------------------------------------
+# Multi-batch observation passes (the reference's commented-out calibration
+# loop, test_quant.py:238-243: every batch updates observer stats, only the
+# last batch — last_calibrate — computes scales).  During observe-only
+# batches QIntSoftmax falls back to float softmax because qact_attn1's scale
+# does not exist yet (layers.py:368 ``scale is not None``).
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def _observe_embed(params, spec: ViTSpec, cfg: QuantConfig, x, states):
+    states = dict(states)
+    if spec.input_quant:
+        _observe_act_site(states, "qact_input", x, cfg)
+    pe = params["patch_embed"]
+    h = patchify(x, spec) @ pe["w"].T + pe["b"]
+    _observe_act_site(states, "patch.qact", h, cfg)
+    cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
+    h = jnp.concatenate([cls, h], axis=1)
+    _observe_act_site(states, "qact_embed", h, cfg)
+    _observe_act_site(states, "qact_pos", params["pos_embed"], cfg)
+    h = h + params["pos_embed"]
+    _observe_act_site(states, "qact1", h, cfg, observer=cfg.observer_a_ln)
+    return h, states
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def _observe_block(blk, spec: ViTSpec, cfg: QuantConfig, h, states):
+    states = dict(states)
+    eps = spec.ln_eps
+    ob_ln = cfg.observer_a_ln
+
+    def smooth_observe(path, x, w, alpha_pool):
+        if not cfg.smoothquant:
+            _observe_act_site(states, f"{path}.qact0", x, cfg)
+            return x @ w["w"].T + w["b"]
+        for alpha in alpha_pool:
+            ch = _smoothquant_channel_scale(x, w["w"], alpha)
+            x_s = x / ch
+            _observe_act_site(states, f"{path}.qact0", x_s, cfg)
+        return x_s @ (w["w"] * ch).T + w["b"]
+
+    y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+    qkv = smooth_observe("attn.qkv", y, blk["qkv"], cfg.alpha_pool)
+    _observe_act_site(states, "attn.qact1", qkv, cfg)
+
+    def soft_fn(a):
+        _observe_act_site(states, "attn.qact_attn1", a, cfg)
+        return jax.nn.softmax(a, axis=-1)  # scale unknown -> float softmax
+
+    y, _ = _sdpa(qkv, spec, soft_fn)
+    _observe_act_site(states, "attn.qact2", y, cfg)
+    y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
+    _observe_act_site(states, "attn.qact3", y, cfg, observer=ob_ln)
+    h = h + y
+    _observe_act_site(states, "qact2", h, cfg, observer=ob_ln)
+
+    y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+    y = smooth_observe("mlp.fc1", y, blk["fc1"], cfg.mlp_alpha_pool)
+    y = jax.nn.gelu(y, approximate=False)
+    _observe_act_site(states, "mlp.qact1", y, cfg)
+    y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
+    _observe_act_site(states, "mlp.qact2", y, cfg, observer=ob_ln)
+    h = h + y
+    _observe_act_site(states, "qact4", h, cfg, observer=ob_ln)
+    return h, states
+
+
+@partial(jax.jit, static_argnames=("spec", "cfg"))
+def _observe_tail(params, spec: ViTSpec, cfg: QuantConfig, h, states):
+    states = dict(states)
+    h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"],
+                        spec.ln_eps)[:, 0]
+    _observe_act_site(states, "qact2", h, cfg)
+    logits = h @ params["head"]["w"].T + params["head"]["b"]
+    _observe_act_site(states, "act_out", logits, cfg)
+    return states
+
+
+def _sub_states(states, prefix):
+    if states is None:
+        return None
+    sub = {k[len(prefix):]: v for k, v in states.items()
+           if k.startswith(prefix)}
+    return sub or None
+
+
+def calibrate(params, spec: ViTSpec, cfg: QuantConfig, x, stats=None):
     """Single-batch calibration pass.  Returns (qparams, global_distance):
     qparams a flat {path: array} dict; global_distance a (4*depth+1, 4) array
     of per-linear per-bit weight L2 errors in reference order
     [uint3, uint4, int4, int8].
 
     Orchestrated as embed + per-block + tail jitted stages: the 12
-    structurally identical blocks share one compiled executable."""
-    h, qp = _calibrate_embed(params, spec, cfg, jnp.asarray(x))
+    structurally identical blocks share one compiled executable.  ``stats``:
+    running observation state from prior batches (see calibrate_batches)."""
+    blk_prefixes = [f"blocks.{i}." for i in range(spec.depth)]
+    embed_stats = None
+    if stats is not None:
+        embed_stats = {k: v for k, v in stats.items()
+                       if not k.startswith("blocks.")
+                       and k not in ("qact2", "act_out")} or None
+        # embed's qact1 vs tail's qact2/act_out are disjoint key sets
+        if embed_stats is not None and "qact1" in stats:
+            embed_stats["qact1"] = stats["qact1"]
+    h, qp = _calibrate_embed(params, spec, cfg, jnp.asarray(x),
+                             stats=embed_stats)
     qp = dict(qp)
     dists = []
     for i, blk in enumerate(params["blocks"]):
-        h, qp_blk, dist_blk = _calibrate_block(blk, spec, cfg, h)
+        h, qp_blk, dist_blk = _calibrate_block(
+            blk, spec, cfg, h, stats=_sub_states(stats, blk_prefixes[i]))
         qp.update({f"blocks.{i}.{k}": v for k, v in qp_blk.items()})
         dists.append(dist_blk)
-    qp_tail, dist_tail = _calibrate_tail(params, spec, cfg, h)
+    tail_stats = None
+    if stats is not None:
+        tail_stats = {k: stats[k] for k in ("qact2", "act_out")
+                      if k in stats} or None
+    qp_tail, dist_tail = _calibrate_tail(params, spec, cfg, h,
+                                         stats=tail_stats)
     qp.update(qp_tail)
     dist = jnp.concatenate(dists + [dist_tail])
     return qp, dist
+
+
+def calibrate_batches(params, spec: ViTSpec, cfg: QuantConfig, batches):
+    """Multi-batch calibration: observe running stats on batches[:-1], then
+    finalize all scales on the last batch merged with the accumulated stats
+    — the reference's intended --calib-iter protocol."""
+    batches = list(batches)
+    if len(batches) == 1:
+        return calibrate(params, spec, cfg, batches[0])
+    states: dict = {}
+    for x in batches[:-1]:
+        x = jnp.asarray(x)
+        h, em = _observe_embed(
+            params, spec, cfg, x,
+            {k: v for k, v in states.items()
+             if not k.startswith("blocks.") and k not in ("qact2", "act_out")})
+        states.update(em)
+        for i, blk in enumerate(params["blocks"]):
+            h, st = _observe_block(blk, spec, cfg, h,
+                                   _sub_states(states, f"blocks.{i}.") or {})
+            states.update({f"blocks.{i}.{k}": v for k, v in st.items()})
+        tl = _observe_tail(params, spec, cfg, h,
+                           {k: states[k] for k in ("qact2", "act_out")
+                            if k in states})
+        states.update(tl)
+    return calibrate(params, spec, cfg, batches[-1], stats=states)
 
 
 # ---------------------------------------------------------------------------

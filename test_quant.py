@@ -44,6 +44,11 @@ def build_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--checkpoint", default=None,
                    help="local .pth/.npz weights (no-network environment)")
+    p.add_argument("--calib-multi-batch", default=False, action="store_true",
+                   help="observe stats over --calib-iter batches and finalize "
+                        "on the last (the reference's intended multi-batch "
+                        "protocol; default replicates its active single-batch "
+                        "path)")
     p.add_argument("--int-path", default=False, action="store_true",
                    help="run real int8 MXU execution instead of the "
                         "reference-style fake-quant simulation")
@@ -143,7 +148,11 @@ def main(argv=None):
             calib = gaussian_calibration(args.calib_batchsize, args.seed)
         else:
             print("Calibrating with real data...")
-            calib = train_batches(1, args.calib_batchsize)[0][0]
+            if args.calib_multi_batch:
+                calib = [b[0] for b in train_batches(args.calib_iter,
+                                                     args.calib_batchsize)]
+            else:
+                calib = train_batches(1, args.calib_batchsize)[0][0]
         model.calibrate(calib)
 
     def evaluate(bit_config):

@@ -89,3 +89,41 @@ def test_bit_config_mixed(setup):
     bc = [8] + [4, 8] * (2 * TINY.depth) + [8]
     q = vit.forward_q(params, qp, TINY, cfg, x, tuple(bc))
     assert np.all(np.isfinite(q))
+
+
+def test_multibatch_calibration(setup):
+    """calibrate_batches on [x, x] must equal single-batch calibrate for
+    running-max observers; distinct batches widen the observed ranges."""
+    params, x = setup
+    cfg = QuantConfig()
+    qp1, d1 = vit.calibrate(params, TINY, cfg, x)
+    qp2, d2 = vit.calibrate_batches(params, TINY, cfg, [x, x])
+    # pre-attention sites see identical tensors in both protocols
+    for k in ("qact_input.scale", "patch.qact.scale", "qact_embed.scale",
+              "qact1.scale"):
+        np.testing.assert_allclose(np.asarray(qp2[k]), np.asarray(qp1[k]),
+                                   rtol=1e-6, err_msg=k)
+    # post-attention sites differ slightly: observation batches run float
+    # softmax (qact_attn1's scale doesn't exist yet — layers.py:368), the
+    # final batch runs LIS, exactly as in the reference protocol
+    for k in qp1:
+        np.testing.assert_allclose(np.asarray(qp2[k]), np.asarray(qp1[k]),
+                                   rtol=5e-2, err_msg=k)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d1), rtol=5e-2)
+
+    x2 = jax.random.normal(jax.random.PRNGKey(9), x.shape) * 2.0
+    qp3, _ = vit.calibrate_batches(params, TINY, cfg, [x2, x])
+    # wider inputs in the observation batch -> input scale must not shrink
+    assert float(qp3["qact_input.scale"]) >= float(qp1["qact_input.scale"])
+    out = vit.forward_q(params, qp3, TINY, cfg, x,
+                        (4,) * vit.num_bit_slots(TINY))
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_multibatch_calibration_ema(setup):
+    params, x = setup
+    cfg = QuantConfig(quant_method="ema")
+    qp, _ = vit.calibrate_batches(params, TINY, cfg, [x, x * 0.5])
+    out = vit.forward_q(params, qp, TINY, cfg, x,
+                        (8,) * vit.num_bit_slots(TINY))
+    assert np.all(np.isfinite(np.asarray(out)))
