@@ -49,13 +49,13 @@ def compute_cka_with_adversarial(model1, model2, batch_iter_factory, *,
                                  model2_bit_config=None, cka_iter=10,
                                  cka_batch_iter=10, normalize_act=False,
                                  result_name="cka_result.pkl", key=None,
-                                 log=print):
+                                 pgd_steps=50, log=print):
     """Two-model adversarial-DDV CKA (cka_utility.py:194-334): PGD inputs
     generated against model1, MinibatchAdvCKA accumulated over
     clean/adversarial activation pairs of both models."""
     key = key if key is not None else jax.random.PRNGKey(0)
-    attack = AttackPGD(model1, epsilon=0.06, step_size=0.01, num_steps=50,
-                       bit_config=model1_bit_config)
+    attack = AttackPGD(model1, epsilon=0.06, step_size=0.01,
+                       num_steps=pgd_steps, bit_config=model1_bit_config)
 
     sample_images, _ = next(iter(batch_iter_factory()))
     n1 = len(get_activations(model1, sample_images,
