@@ -137,6 +137,21 @@ def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
                 site["ln_rescale"] = ln_ch / ch
             return site
 
+        def qkv_head_blocks(site, bit):
+            """Per-head weight layout for the fully-fused attention
+            kernel: (H, Cin, D) int8 blocks + (3, H, D) multipliers/bias
+            — prepared once, so the kernel needs no transposes at all."""
+            h, d = spec.num_heads, spec.head_dim
+            c = spec.embed_dim
+            codes = site["w_int"].T  # (3C, Cin)
+            codes = codes.reshape(3, h, d, c).transpose(0, 1, 3, 2)
+            mult = jnp.broadcast_to(site["mult"], (3 * c,)).reshape(3, h, d)
+            b3 = site["b"].reshape(3, h, d)
+            site["wq_h"], site["wk_h"], site["wv_h"] = \
+                codes[0], codes[1], codes[2]
+            site["mult_h"] = mult.astype(jnp.float32)
+            site["bias_h"] = b3.astype(jnp.float32)
+
         def plain_site(path, lin, bit, in_scale):
             if bit == -1:
                 return {"w": lin["w"], "b": lin["b"], "fp": True}
@@ -145,6 +160,8 @@ def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
                     "b": lin["b"], "fp": False, "mult": in_scale * sw}
 
         ib["qkv"] = smooth_site(f"{p}.attn.qkv", blk["qkv"], b_qkv)
+        if not ib["qkv"]["fp"]:
+            qkv_head_blocks(ib["qkv"], b_qkv)
         ib["proj"] = plain_site(f"{p}.attn.proj.w", blk["proj"], b_proj,
                                 qscale(f"{p}.attn.qact2"))
         a_idx = cfg.bit_pool.index(b_qkv) if b_qkv != -1 else -1
@@ -247,6 +264,17 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
 
         # ---- attention ----
         qkv_site = ib["qkv"]
+        proj_site = ib["proj"]
+        s1 = ib["attn.qact1"]["scale"]
+        s_a = ib["attn.qact_attn1"]["scale"]
+        s2 = ib["attn.qact2"]["scale"]
+        bt_s = cfg.bit_s
+        N = h.shape[1]
+        x_i8 = None
+        y = None
+        fused2_path = (use_pallas and not qkv_site["fp"]
+                       and not proj_site["fp"] and cfg.int_norm
+                       and cfg.smoothquant)
         if qkv_site["fp"]:
             y = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
             y = y @ qkv_site["w"].T + qkv_site["b"]
@@ -254,19 +282,35 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
             if cfg.int_norm and b_proj != -1:
                 x_i8 = _ln_int8(h, ib["norm1"], in_scale, qkv_site["in_scale"], eps)
             else:
-                y = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
-                x_i8 = _requant_i8(y, qkv_site["in_scale"])
-            y = _int_dot(x_i8, qkv_site["w_int"]).astype(jnp.float32) \
-                * qkv_site["mult"] + qkv_site["b"]
+                yf = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
+                x_i8 = _requant_i8(yf, qkv_site["in_scale"])
+            if not fused2_path:
+                y = _int_dot(x_i8, qkv_site["w_int"]).astype(jnp.float32) \
+                    * qkv_site["mult"] + qkv_site["b"]
 
-        s1 = ib["attn.qact1"]["scale"]
-        s_a = ib["attn.qact_attn1"]["scale"]
-        s2 = ib["attn.qact2"]["scale"]
-        bt_s = cfg.bit_s
-        qkv_i8 = _requant_i8(y, s1)
-        N = qkv_i8.shape[1]
-        proj_site = ib["proj"]
-        if use_pallas and not proj_site["fp"]:
+        if not fused2_path:
+            qkv_i8 = _requant_i8(y, s1)
+        if fused2_path:
+            from ..ops.pallas.attention import fused_qkv_attention
+
+            npad = _round_up(N, 128)
+            x_p = jnp.pad(x_i8, ((0, 0), (0, npad - N), (0, 0)))
+            scalars2 = jnp.stack([
+                s_a, s1 * s1 * spec.attn_scale / s_a, 1.0 / s1, s1 / s2,
+            ]).astype(jnp.float32)
+            o_i8 = fused_qkv_attention(
+                x_p, qkv_site["wq_h"], qkv_site["wk_h"], qkv_site["wv_h"],
+                qkv_site["mult_h"], qkv_site["bias_h"], scalars2,
+                n_real=N, bits=bt_s.bits, lis=cfg.lis,
+                interpret=pallas_interpret)
+            o_i8 = o_i8[:, :, :N]  # (B, H, N, D)
+            # proj consumes the head layout via a joint (H, D) contraction
+            w_hdc = proj_site["w_int"].reshape(n_heads, h_dim, -1)
+            y = jax.lax.dot_general(
+                o_i8, w_hdc, (((1, 3), (0, 1)), ((), ())),
+                preferred_element_type=I32).astype(jnp.float32) \
+                * proj_site["mult"] + proj_site["b"]
+        elif use_pallas and not proj_site["fp"]:
             from ..ops.pallas.attention import fused_int_attention
 
             npad = _round_up(N, 128)

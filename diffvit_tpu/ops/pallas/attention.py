@@ -106,6 +106,96 @@ def _attn_kernel(qkv_ref, scal_ref, out_ref, *, n_real, bits, lis, group):
         out_ref[g, 0, :, :] = o.astype(jnp.int8)
 
 
+def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, mult_ref, bias_ref,
+                     scal_ref, out_ref, *, n_real, bits, lis):
+    # x_ref:   (1, N, Cin) int8 — LN output codes, one batch element
+    #          (constant over the head grid dim -> fetched once per b)
+    # w*_ref:  (H, Cin, D) int8 — per-head q/k/v weight blocks
+    # mult_ref:(3, H, D) f32 — int32->f32 output multipliers (s_x * s_w)
+    # bias_ref:(3, H, D) f32
+    # scal_ref: SMEM (4,) f32 = [in_mult(un-used placeholder), c1, s1_inv,
+    #           s2_inv]; see fused_qkv_attention
+    # out_ref: (1, 1, N, D) int8 on the qact2 grid
+    h = pl.program_id(1)
+    c1 = scal_ref[1]
+    s1_inv = scal_ref[2]
+    s1_over_s2 = scal_ref[3]
+    s_a = scal_ref[0]
+
+    x = x_ref[0]  # (N, Cin) int8
+
+    def head_proj(w_ref, slot):
+        acc = jax.lax.dot_general(
+            x, w_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * mult_ref[slot, h][None, :] \
+            + bias_ref[slot, h][None, :]
+        # qact1 requant (the attention operates on the qact1 int grid)
+        return jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0) \
+            .astype(jnp.bfloat16)
+
+    q = head_proj(wq_ref, 0)
+    k = head_proj(wk_ref, 1)
+    v = head_proj(wv_ref, 2)
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    a_int = jnp.clip(jnp.round(scores * c1), -128.0, 127.0)
+
+    npad = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+    if lis:
+        attn = _lis_body(a_int, s_a, bits, col_ok)
+    else:
+        logits = jnp.where(col_ok, a_int * s_a, -jnp.inf)
+        attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+
+    o = jax.lax.dot_general(
+        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
+    out_ref[0, 0] = o.astype(jnp.int8)
+
+
+def fused_qkv_attention(x_i8, wq, wk, wv, mult, bias, scalars, *, n_real,
+                        bits=4, lis=True, interpret=False):
+    """Fully-fused attention: per-head qkv projection + requant + scores +
+    LIS + attn@v + output requant in one kernel.
+
+    x_i8:    (B, N_pad, Cin) int8 — integer LayerNorm output codes (the
+             qkv in_scale grid).  No transposes anywhere: the per-head
+             weight layout (H, Cin, D) is prepared once on the host, and
+             the (B, H, N_pad, D) output is consumed by the proj matmul as
+             a joint (H, D) contraction.
+    wq/wk/wv: (H, Cin, D) int8.
+    mult/bias: (3, H, D) f32 — [q, k, v] output multiplier / bias.
+    scalars: (4,) f32 [s_a, s1^2*attn_scale/s_a, 1/s1, s1/s2].
+    Returns (B, H, N_pad, D) int8 on the qact2 grid.
+    """
+    b, npad, cin = x_i8.shape
+    h, _, d = wq.shape
+    kernel = functools.partial(_qkv_attn_kernel, n_real=n_real, bits=bits,
+                               lis=lis)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, npad, cin), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wq (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wk
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mult
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=pl.BlockSpec((1, 1, npad, d), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, npad, d), jnp.int8),
+        interpret=interpret,
+    )(x_i8, wq, wk, wv, mult, bias, scalars)
+
+
 def fused_int_attention(qkv_i8, scalars, *, num_heads, n_real, bits=4,
                         lis=True, group=8, interpret=False):
     """qkv_i8: (B, 3, H, N_pad, D) int8 on the qact1 grid.

@@ -67,3 +67,20 @@ def test_full_model_pallas_vs_xla_path():
                                 pallas_interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_fully_fused_qkv_attention_model():
+    """The fully-fused (qkv projection + attention) kernel path vs XLA."""
+    spec = vit.ViTSpec("t2", embed_dim=64, depth=2, num_heads=2, num_classes=10)
+    cfg = QuantConfig()
+    params = vit.init_params(spec, jax.random.PRNGKey(5))
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 3, 224, 224))
+    qp, _ = vit.calibrate(params, spec, cfg, x)
+    for bits in (4, 8):
+        bc = (bits,) * vit.num_bit_slots(spec)
+        ip = vit_int.prepare_int(params, qp, spec, cfg, bc)
+        ref = vit_int.forward_q_int(ip, spec, cfg, x, use_pallas=False)
+        got = vit_int.forward_q_int(ip, spec, cfg, x, use_pallas=True,
+                                    pallas_interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)
