@@ -11,6 +11,7 @@ attention kernel with the same math lives in ops/pallas/.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .bit_types import BitType
@@ -18,7 +19,12 @@ from .bit_types import BitType
 
 def log_round(x):
     """Nearest-power-of-two exponent, biased like the reference: bump the
-    floor exponent iff (x - 2^f) >= 2^(f-1) (layers.py:323-329)."""
+    floor exponent iff (x - 2^f) >= 2^(f-1) (layers.py:323-329).
+
+    Note: exact bitcast exponent-field forms of exp2/floor-log2 were
+    measured SLOWER than the transcendentals on both the XLA path and in
+    Mosaic kernels — this TPU's VPU exp2/log2 hardware beats the
+    int<->float relayout cost.  Keeping the transcendental forms."""
     f = jnp.floor(jnp.log2(x))
     bump = (x - 2.0**f) >= 2.0 ** (f - 1.0)
     return f + bump.astype(f.dtype)
