@@ -103,7 +103,10 @@ def hutchinson_trace(hvp, w, key, max_iter=150, tol=5e-3):
 def hessian_traces(params, spec, inputs, targets, key, max_iter=150,
                    tol=5e-3, names=None):
     """(names, traces) for all 4*depth+1 target weights on one batch —
-    the JAX equivalent of pyhessian.hessian(...).trace()."""
+    the JAX equivalent of pyhessian.hessian(...).trace() with the
+    reference's per-leaf (diagonal-block) HVPs.  Compiles one HVP per
+    target leaf — use ``hessian_traces_joint`` for the one-compile
+    variant."""
     names = names or hessian_target_names(spec)
     inputs = jnp.asarray(inputs)
     targets = jnp.asarray(targets)
@@ -115,6 +118,42 @@ def hessian_traces(params, spec, inputs, targets, key, max_iter=150,
         t, _ = hutchinson_trace(hvp, w, sub, max_iter, tol)
         traces.append(t)
     return names, traces
+
+
+def hessian_traces_joint(params, spec, inputs, targets, key, max_iter=150,
+                         tol=5e-3, names=None):
+    """Per-leaf Hutchinson traces from JOINT probes: one jitted HVP over the
+    dict of all target leaves; per-leaf vhv = sum(v_i * (Hv)_i).  With
+    independent Rademacher components per leaf the cross-block terms have
+    zero expectation, so each per-leaf estimate is unbiased for its diagonal
+    block — same estimand as the reference, 49x fewer compiles (upstream
+    PyHessian's own trace() uses joint probes; the reference switched to
+    per-leaf ones, hessian.py:178-186).  Early stop when the mean of the
+    per-leaf running means stabilizes (same tol form as hessian.py:198)."""
+    names = names or hessian_target_names(spec)
+    inputs = jnp.asarray(inputs)
+    targets = jnp.asarray(targets)
+    ws0, hvp = _multi_leaf_fns(params, spec, inputs, targets, names)
+
+    @jax.jit
+    def sample(key):
+        ks = jax.random.split(key, len(names))
+        v = {n: jax.random.rademacher(k, ws0[n].shape, dtype=ws0[n].dtype)
+             for n, k in zip(names, ks)}
+        hv = hvp(ws0, v)
+        return jnp.stack([jnp.sum(v[n] * hv[n]) for n in names])
+
+    samples = []
+    trace = 0.0
+    for _ in range(max_iter):
+        key, sub = jax.random.split(key)
+        samples.append(np.asarray(sample(sub)))
+        means = np.mean(samples, axis=0)
+        mean = float(np.mean(means))
+        if abs(mean - trace) / (abs(trace) + 1e-6) < tol:
+            break
+        trace = mean
+    return names, np.mean(samples, axis=0).tolist()
 
 
 def _multi_leaf_fns(params, spec, inputs, targets, names):
@@ -225,15 +264,17 @@ def eigenvalue_density(params, spec, inputs, targets, key, iters=100, n_v=1,
 
 
 def hessian_sensitivity(params, spec, batches, key, max_iter=150, tol=5e-3,
-                        log=print):
+                        log=print, joint=True):
     """test_quant.py:147-191: per-batch traces -> |.| -> min-max normalize ->
     mean over batches.  ``batches``: iterable of (inputs, targets); the
-    reference uses 10 calibration-loader batches."""
+    reference uses 10 calibration-loader batches.  ``joint``: use the
+    one-compile joint-probe estimator (default; set False for the
+    reference's per-leaf HVPs)."""
+    fn = hessian_traces_joint if joint else hessian_traces
     trace_list = []
     for bi, (inputs, targets) in enumerate(batches):
         key, sub = jax.random.split(key)
-        _, traces = hessian_traces(params, spec, inputs, targets, sub,
-                                   max_iter, tol)
+        _, traces = fn(params, spec, inputs, targets, sub, max_iter, tol)
         trace_list.append(traces)
         log(f"hessian batch {bi}: done")
     normalized = []

@@ -57,6 +57,14 @@ def build_parser():
                         "PIL path; parallel batch assembly outside the GIL)")
     p.add_argument("--hessian-batches", default=10, type=int)
     p.add_argument("--hessian-iter", default=150, type=int)
+    p.add_argument("--evo-pop", default=25, type=int)
+    p.add_argument("--evo-iter", default=8, type=int)
+    p.add_argument("--evo-mutate", default=10, type=int)
+    p.add_argument("--evo-crossover", default=10, type=int)
+    p.add_argument("--pareto-top", default=5, type=int)
+    p.add_argument("--size-factor", default=1.1, type=float,
+                   help="model-size constraint multiplier vs all-4-bit "
+                        "(test_quant.py:262)")
     p.add_argument("--val-limit", default=None, type=int,
                    help="cap validation images (debug)")
     return p
@@ -170,14 +178,17 @@ def main(argv=None):
         assert len(flops) - 1 == len(model.global_distance) == len(mean_hessian)
         print("Pareto Frontier.......")
         rng = random.Random(args.seed)
-        bit_list = mp.sample_candidates(flops, rng)
+        bit_list = mp.sample_candidates(flops, rng, factor=args.size_factor)
         omega_list = mp.omega_rank(bit_list, flops, mean_hessian,
                                    model.global_distance)
         print("Hessien-Based Validating...")
-        for i in range(min(5, len(omega_list))):
+        for i in range(min(args.pareto_top, len(omega_list))):
             evaluate(omega_list[i][0])
         print("Start Evolutionary.......")
-        result = mp.evolutionary_search(omega_list, flops, evaluate, rng=rng)
+        result = mp.evolutionary_search(
+            omega_list, flops, evaluate, rng=rng, pop_size=args.evo_pop,
+            evo_iter=args.evo_iter, mutate_size=args.evo_mutate,
+            crossover_size=args.evo_crossover, factor=args.size_factor)
         print("best:", result[0])
     else:
         if not args.quant:

@@ -145,3 +145,25 @@ def test_calibration_save_load(tmp_path):
     got = np.asarray(m2(x))
     np.testing.assert_array_equal(got, ref)
     np.testing.assert_array_equal(m2.global_distance, m.global_distance)
+
+
+def test_hessian_traces_joint_matches_perleaf_estimand():
+    import jax
+
+    from diffvit_tpu.analysis.hessian import (hessian_traces,
+                                              hessian_traces_joint)
+
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((2, 3, 224, 224)).astype("float32")
+    y = np.array([0, 1])
+    names = ["blocks.0.attn.qkv.weight", "head.weight"]
+    _, t_joint = hessian_traces_joint(params, TINY, x, y,
+                                      jax.random.PRNGKey(0), max_iter=40,
+                                      tol=0.0, names=names)
+    _, t_leaf = hessian_traces(params, TINY, x, y, jax.random.PRNGKey(1),
+                               max_iter=40, tol=0.0, names=names)
+    # same estimand, independent probes: agree loosely at 40 samples
+    for a, b in zip(t_joint, t_leaf):
+        assert np.isfinite(a) and np.isfinite(b)
+        denom = max(abs(a), abs(b), 1e-3)
+        assert abs(a - b) / denom < 1.5, (a, b)
