@@ -69,7 +69,16 @@ def int_softmax_from_int(x_int, scaling_factor):
 
 def _lis_tail(exp_int, exp_sum, bit_type: BitType):
     softmax_inv = jnp.round(exp_sum / exp_int)
-    rounds = log_round(softmax_inv)
+    # log_round(m) == floor(log2(2m/3)) + 1 for every integer m >= 1:
+    # the bump condition m >= 1.5*2^f folds into the shifted log.  Exact in
+    # f32 — at the boundaries m = 3*2^k the quotient 2m/3 = 2^(k+1) is
+    # computed exactly (representable result of a correctly-rounded divide),
+    # elsewhere the quotient is >= 1/3 away from any power of two while the
+    # rounding error is < 2^(j-24) (saturation at rounds >= 2^bits caps the
+    # relevant m far below the fuzzy regime).  Saves two exp2 per element vs
+    # the literal floor/bump form — LIS is the VPU bottleneck of the
+    # integer attention.
+    rounds = jnp.floor(jnp.log2(2.0 * softmax_inv / 3.0)) + 1.0
     mask = rounds >= 2**bit_type.bits
     qlog = jnp.clip(rounds, 0, 2**bit_type.bits - 1)
     deq = 2.0 ** (-qlog)

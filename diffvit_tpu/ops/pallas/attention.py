@@ -63,9 +63,9 @@ def _lis_body(a_int, scale, bits, col_ok):
     exp_int = jnp.where(col_ok, exp_int, 0.0)
     exp_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
     # log2 quantization (layers.py:367-376); exp_int == 0 -> inf -> masked 0
+    # log_round(m) == floor(log2(2m/3)) + 1, bit-exact (see ops/lis.py)
     softmax_inv = jnp.round(exp_sum / exp_int)
-    f = jnp.floor(jnp.log2(softmax_inv))
-    rounds = f + ((softmax_inv - jnp.exp2(f)) >= jnp.exp2(f - 1.0))
+    rounds = jnp.floor(jnp.log2(2.0 * softmax_inv / 3.0)) + 1.0
     sat = rounds >= 2.0**bits
     qlog = jnp.clip(rounds, 0.0, 2.0**bits - 1.0)
     deq = jnp.where(sat, 0.0, jnp.exp2(-qlog))
