@@ -44,6 +44,11 @@ def build_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--checkpoint", default=None,
                    help="local .pth/.npz weights (no-network environment)")
+    p.add_argument("--dp", default=None, type=int,
+                   help="data-parallel mesh size (defaults to all devices "
+                        "when >1 device is visible; 1 disables)")
+    p.add_argument("--tp", default=1, type=int,
+                   help="tensor-parallel mesh size (megatron shardings)")
     p.add_argument("--calib-multi-batch", default=False, action="store_true",
                    help="observe stats over --calib-iter batches and finalize "
                         "on the last (the reference's intended multi-batch "
@@ -99,8 +104,17 @@ def main(argv=None):
 
     cfg = QuantConfig(ptf=args.ptf, lis=args.lis, quant_method=args.quant_method)
     print(f"Model: {args.model}")
+    mesh = None
+    n_dev = len(jax.devices())
+    if args.dp is not None or args.tp != 1 or n_dev > 1:
+        from diffvit_tpu.parallel.mesh import make_mesh
+
+        dp = args.dp if args.dp is not None else max(1, n_dev // args.tp)
+        if dp * args.tp > 1:
+            mesh = make_mesh(dp * args.tp, dp=dp, tp=args.tp)
+            print(f"mesh: dp={dp} tp={args.tp}")
     model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
-                         seed=args.seed)
+                         seed=args.seed, mesh=mesh)
     pp = preprocessing_for(args.model)
     if args.native_preproc:
         from diffvit_tpu.data.native_preproc import build_native_transform

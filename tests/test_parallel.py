@@ -1,0 +1,55 @@
+"""Device-mesh parallelism on the virtual 8-device CPU mesh."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from diffvit_tpu.config import QuantConfig
+from diffvit_tpu.engine import QuantizedViT
+from diffvit_tpu.models import vit
+from diffvit_tpu.parallel import mesh as mesh_mod
+
+TINY = vit.ViTSpec("t", embed_dim=64, depth=2, num_heads=2, num_classes=10)
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return jax.devices()[:8]
+
+
+def test_mesh_shapes(eight_devices):
+    m = mesh_mod.make_mesh(8, tp=2)
+    assert dict(m.shape) == {"dp": 4, "tp": 2}
+    m2 = mesh_mod.make_mesh(8)
+    assert dict(m2.shape) == {"dp": 8, "tp": 1}
+
+
+def test_param_shardings_rules(eight_devices):
+    m = mesh_mod.make_mesh(8, tp=2)
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    sharded = mesh_mod.shard_params(m, params)
+    qkv = sharded["blocks"][0]["qkv"]["w"]
+    # row-sharded over tp: each shard holds half the output rows
+    assert qkv.sharding.spec == mesh_mod.P("tp", None)
+    proj = sharded["blocks"][0]["proj"]["w"]
+    assert proj.sharding.spec == mesh_mod.P(None, "tp")
+    # norms replicated
+    assert sharded["blocks"][0]["norm1"]["w"].sharding.spec == mesh_mod.P()
+
+
+def test_engine_sharded_eval_matches_single(eight_devices):
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((8, 3, 224, 224)).astype("float32")
+    calib = np.random.default_rng(1).standard_normal((2, 3, 224, 224)).astype("float32")
+
+    single = QuantizedViT(TINY, QuantConfig(), params=params)
+    single.calibrate(calib)
+    ref = np.asarray(single(x))
+
+    m = mesh_mod.make_mesh(8, tp=2)
+    sharded = QuantizedViT(TINY, QuantConfig(), params=params, mesh=m)
+    sharded.calibrate(calib)
+    got = np.asarray(sharded(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
