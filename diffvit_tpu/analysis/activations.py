@@ -51,8 +51,6 @@ def get_activations(model, images, bit_config=None, quant=None,
     if quant is None:
         quant = model.qparams is not None
     taps: list = []
-    import jax
-
     fn_taps = taps
     if quant:
         out = vit_mod.forward_q(model.params, model.qparams, model.spec,

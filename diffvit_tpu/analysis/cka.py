@@ -7,7 +7,6 @@ the accumulators are plain arrays updated functionally.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..models import vit as vit_mod
 from .hessian import (_get_leaf, _set_leaf, hessian_target_names,

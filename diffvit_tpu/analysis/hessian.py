@@ -21,8 +21,6 @@ batches) — with the reference's uninitialized ``mean_hessian`` list fixed
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

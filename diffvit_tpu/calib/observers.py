@@ -26,9 +26,6 @@ Semantics notes (verified against the reference source):
 """
 from __future__ import annotations
 
-import dataclasses
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

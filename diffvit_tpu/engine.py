@@ -17,7 +17,7 @@ import numpy as np
 
 from .config import QuantConfig
 from .models import vit as vit_mod
-from .models.registry import build_params, get_spec
+from .models.registry import build_params
 from .utils.metrics import AverageMeter, accuracy, cross_entropy
 from .parallel import mesh as mesh_mod
 

@@ -7,7 +7,7 @@ from __future__ import annotations
 import dataclasses
 import os
 
-from .vit import VIT_SPECS, ViTSpec, init_params
+from .vit import VIT_SPECS, init_params
 
 
 @dataclasses.dataclass(frozen=True)

@@ -29,10 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import QuantConfig
-from ..ops.bit_types import BIT_TYPE_DICT
 from ..ops.int_layernorm import float_layernorm, int_layernorm
 from ..ops.lis import log_int_softmax
-from ..ops.quant import fake_quant
 from .vit import _calib_act_site, _calib_weight_site, _fq, _q_weight
 
 

@@ -41,7 +41,6 @@ Divergences from the reference (intended-behavior fixes, documented):
 from __future__ import annotations
 
 import dataclasses
-import math
 from functools import partial
 
 import jax

@@ -11,7 +11,6 @@ attention kernel with the same math lives in ops/pallas/.
 """
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from .bit_types import BitType

@@ -16,8 +16,6 @@ them on the fly where a matmul needs a sharded operand's scale.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
