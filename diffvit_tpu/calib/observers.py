@@ -110,6 +110,25 @@ def minmax_weight_qparams(w2d, x_in, bit_type: BitType, channel_wise: bool):
     return scale, zp
 
 
+def make_attn_replay(num_heads: int, dim: int, scale: float):
+    """The observer's attention replay (get_attn, minmax.py:77-117): treat
+    the tensor as a (B, N, 3C) qkv output, replay heads-split q@k^T*scale ->
+    float softmax -> @v, and score the PoT candidate through that output.
+    ``attn_para=[num_heads, C, scale]`` in the reference call sites
+    (models/ptq/layers.py:164, vit_fquant.py:254)."""
+
+    def replay(x):
+        b, n, _ = x.shape
+        hd = dim // num_heads
+        qkv = x.reshape(b, n, 3, num_heads, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q @ k.transpose(0, 1, 3, 2)) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        return (attn @ v).transpose(0, 2, 1, 3).reshape(b, n, dim)
+
+    return replay
+
+
 def minmax_act_qparams(x, bit_type: BitType, attn_replay=None, stats=None):
     """Scale/zp for an activation site (layer-wise, symmetric) via minmax +
     PoT search scoring the (optionally attention-replayed) tensor itself

@@ -235,3 +235,25 @@ def test_log2_quantizer_parity(rng):
     codes, mask = jquant.log2_quant(x, J_BITS["uint4"])
     mine = np.asarray(jquant.log2_dequant(codes, mask))
     np.testing.assert_allclose(mine, ref, rtol=1e-6)
+
+
+def test_minmax_attn_replay_observer_parity(rng):
+    """The observer's attention-replay scoring path (get_attn,
+    minmax.py:77-117): candidates scored through a qkv->softmax->v replay."""
+    from models.ptq.observer.minmax import MinmaxObserver
+
+    from diffvit_tpu.calib.observers import make_attn_replay
+
+    ref_bits = _ref_bits()
+    heads, dim, n = 2, 8, 5
+    scale = (dim // heads) ** -0.5
+    x = (rng.normal(size=(2, n, 3 * dim)) * 3).astype(np.float32)
+
+    obs = MinmaxObserver("activation", ref_bits["int8"], "layer_wise")
+    obs.update(torch.tensor(x))
+    ref_scale, _ = obs.get_quantization_params(
+        torch.tensor(x), attn=True, attn_para=[heads, dim, scale])
+
+    replay = make_attn_replay(heads, dim, scale)
+    mine, _ = jobs.minmax_act_qparams(x, J_BITS["int8"], attn_replay=replay)
+    np.testing.assert_allclose(np.asarray(mine), ref_scale.numpy(), rtol=1e-6)
