@@ -61,6 +61,50 @@ def load_vit_torch_checkpoint(path, spec: ViTSpec):
     return convert_vit_torch_state_dict(sd, spec)
 
 
+def _cubic_weights(frac, a=-0.75):
+    """torch bicubic convolution weights (cubic_convolution1/2, a=-0.75)."""
+    def w1(x):
+        return ((a + 2) * x - (a + 3)) * x * x + 1
+
+    def w2(x):
+        return ((a * x - 5 * a) * x + 8 * a) * x - 4 * a
+
+    return np.stack([w2(frac + 1), w1(frac), w1(1 - frac), w2(2 - frac)],
+                    axis=-1)
+
+
+def _torch_bicubic_resize_1d(x, out_size, axis):
+    """Separable torch-style bicubic (align_corners=False, half-pixel
+    centers, border-clamped taps) along ``axis``."""
+    x = np.moveaxis(x, axis, 0)
+    in_size = x.shape[0]
+    scale = in_size / out_size
+    coords = (np.arange(out_size) + 0.5) * scale - 0.5
+    i0 = np.floor(coords).astype(int)
+    frac = coords - i0
+    w = _cubic_weights(frac)  # (out, 4)
+    idx = np.clip(i0[:, None] + np.arange(-1, 3)[None, :], 0, in_size - 1)
+    out = np.einsum("ot,ot...->o...", w, x[idx])
+    return np.moveaxis(out, 0, axis)
+
+
+def resize_pos_embed(posemb, seq_len_new, num_tokens=1, gs_new=None):
+    """Grid resize of ViT position embeddings for resolution changes
+    (models/utils.py:85-109): split class tokens, bicubically interpolate
+    the grid part (torch F.interpolate semantics: a=-0.75, half-pixel,
+    align_corners=False), re-concat."""
+    posemb = np.asarray(posemb)
+    tok, grid = posemb[:, :num_tokens], posemb[0, num_tokens:]
+    gs_old = int(np.sqrt(len(grid)))
+    if gs_new is None:
+        gs_new = [int(np.sqrt(seq_len_new - num_tokens))] * 2
+    grid = grid.reshape(gs_old, gs_old, -1).astype(np.float64)
+    grid = _torch_bicubic_resize_1d(grid, gs_new[0], axis=0)
+    grid = _torch_bicubic_resize_1d(grid, gs_new[1], axis=1)
+    grid = grid.reshape(1, gs_new[0] * gs_new[1], -1)
+    return np.concatenate([tok, grid.astype(posemb.dtype)], axis=1)
+
+
 def convert_vit_npz(npz, spec: ViTSpec):
     """AugReg Flax .npz -> param pytree, mirroring the reference's mapping
     (models/utils.py:118-197): conv kernel (ps,ps,3,C) -> (C, 3*ps*ps);
@@ -75,9 +119,7 @@ def convert_vit_npz(npz, spec: ViTSpec):
     kern = g("embedding/kernel").transpose(3, 2, 0, 1).reshape(c, -1)
     pos = g("Transformer/posembed_input/pos_embedding")
     if pos.shape[1] != spec.seq_len:
-        raise ValueError(
-            f"pos_embed length {pos.shape[1]} != {spec.seq_len}; "
-            "resolution resize not supported")
+        pos = resize_pos_embed(pos, spec.seq_len)
     params = {
         "cls_token": _t(g("cls")),
         "pos_embed": _t(pos),

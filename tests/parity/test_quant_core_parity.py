@@ -257,3 +257,22 @@ def test_minmax_attn_replay_observer_parity(rng):
     replay = make_attn_replay(heads, dim, scale)
     mine, _ = jobs.minmax_act_qparams(x, J_BITS["int8"], attn_replay=replay)
     np.testing.assert_allclose(np.asarray(mine), ref_scale.numpy(), rtol=1e-6)
+
+
+def test_pos_embed_resize_matches_torch_bicubic(rng):
+    """resize_pos_embed vs torch F.interpolate(bicubic, align_corners=False)
+    — the reference's npz pos-embed resize (models/utils.py:85-109)."""
+    import torch.nn.functional as F
+
+    from diffvit_tpu.models.load import resize_pos_embed
+
+    c = 6
+    pos = rng.normal(size=(1, 1 + 14 * 14, c)).astype(np.float32)
+    grid = torch.tensor(pos[0, 1:].reshape(1, 14, 14, c).transpose(0, 3, 1, 2))
+    ref_grid = F.interpolate(grid, size=(24, 24), mode="bicubic",
+                             align_corners=False)
+    ref = torch.cat(
+        [torch.tensor(pos[:, :1]),
+         ref_grid.permute(0, 2, 3, 1).reshape(1, 24 * 24, c)], dim=1).numpy()
+    got = resize_pos_embed(pos, 1 + 24 * 24)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
