@@ -71,23 +71,25 @@ def main():
 
     x = jnp.asarray(rng.standard_normal((args.batch, 3, 224, 224)), jnp.float32)
 
-    # Chained, data-dependent step loop: on virtualized TPU backends,
+    # Chained, data-dependent steps: on virtualized TPU backends,
     # independent dispatches of the same executable can overlap across
     # backing hardware, making fire-and-forget timing meaningless.  Feeding
     # a (negligible) function of step i's output into step i+1 forces true
-    # sequential single-chip execution.
-    nsteps = args.steps
+    # sequential single-chip execution.  Host-dispatched (not fori_loop) so
+    # the Pallas attention kernel path works (see models/vit_int.py note);
+    # the ~1 ms/step dispatch overhead makes this slightly conservative.
 
     @jax.jit
-    def chained(x):
-        def body(_, carry):
-            logits = run(carry)
-            return carry * (1.0 + 1e-12 * jnp.sum(logits))
-        return jnp.sum(jax.lax.fori_loop(0, nsteps, body, x))
+    def step_chained(x):
+        logits = run(x)
+        return x * (1.0 + 1e-12 * jnp.sum(logits))
 
-    float(chained(x))  # compile + warm
+    x = step_chained(x)
+    x.block_until_ready()  # compile + warm
     t0 = time.perf_counter()
-    float(chained(x))
+    for _ in range(args.steps):
+        x = step_chained(x)
+    x.block_until_ready()
     dt = time.perf_counter() - t0
 
     img_per_sec = args.batch * args.steps / dt

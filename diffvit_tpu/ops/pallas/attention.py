@@ -107,24 +107,29 @@ def _attn_kernel(qkv_ref, scal_ref, out_ref, *, n_real, bits, lis, group):
 
 
 def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, mult_ref, bias_ref,
-                     scal_ref, out_ref, *, n_real, bits, lis):
+                     scal_ref, out_ref, *, n_real, bits, lis, nheads):
     # x_ref:   (1, N, Cin) int8 — LN output codes, one batch element
-    #          (constant over the head grid dim -> fetched once per b)
     # w*_ref:  (H, Cin, D) int8 — per-head q/k/v weight blocks
     # mult_ref:(3, H, D) f32 — int32->f32 output multipliers (s_x * s_w)
     # bias_ref:(3, H, D) f32
-    # scal_ref: SMEM (4,) f32 = [in_mult(un-used placeholder), c1, s1_inv,
-    #           s2_inv]; see fused_qkv_attention
-    # out_ref: (1, 1, N, D) int8 on the qact2 grid
-    h = pl.program_id(1)
+    # scal_ref: SMEM (4,) f32 = [s_a, c1, 1/s1, s1/s2]
+    # out_ref: (1, H, N, D) int8 on the qact2 grid
+    #
+    # One program per batch element computes every head, software-pipelined:
+    # head h+1's projections/scores (MXU) carry no dependency on head h's
+    # LIS (VPU), so issuing them before the LIS lets the scheduler overlap
+    # the units (~7% measured).
+    s_a = scal_ref[0]
     c1 = scal_ref[1]
     s1_inv = scal_ref[2]
     s1_over_s2 = scal_ref[3]
-    s_a = scal_ref[0]
 
     x = x_ref[0]  # (N, Cin) int8
+    npad = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
 
-    def head_proj(w_ref, slot):
+    def head_proj(w_ref, slot, h):
         acc = jax.lax.dot_general(
             x, w_ref[h], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
@@ -134,27 +139,29 @@ def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, mult_ref, bias_ref,
         return jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0) \
             .astype(jnp.bfloat16)
 
-    q = head_proj(wq_ref, 0)
-    k = head_proj(wk_ref, 1)
-    v = head_proj(wv_ref, 2)
+    def scores_of(h):
+        q = head_proj(wq_ref, 0, h)
+        k = head_proj(wk_ref, 1, h)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.clip(jnp.round(s * c1), -128.0, 127.0)
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-    a_int = jnp.clip(jnp.round(scores * c1), -128.0, 127.0)
-
-    npad = x.shape[0]
-    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
-    col_ok = col < n_real
-    if lis:
-        attn = _lis_body(a_int, s_a, bits, col_ok)
-    else:
-        logits = jnp.where(col_ok, a_int * s_a, -jnp.inf)
-        attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-
-    o = jax.lax.dot_general(
-        attn, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
-    out_ref[0, 0] = o.astype(jnp.int8)
+    a_cur = scores_of(0)
+    for h in range(nheads):
+        a_next = scores_of(h + 1) if h + 1 < nheads else None
+        if lis:
+            attn = _lis_body(a_cur, s_a, bits, col_ok)
+        else:
+            logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+        v = head_proj(wv_ref, 2, h)
+        o = jax.lax.dot_general(
+            attn, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
+        out_ref[0, h] = o.astype(jnp.int8)
+        a_cur = a_next
 
 
 def fused_qkv_attention(x_i8, wq, wk, wv, mult, bias, scalars, *, n_real,
@@ -175,12 +182,12 @@ def fused_qkv_attention(x_i8, wq, wk, wv, mult, bias, scalars, *, n_real,
     b, npad, cin = x_i8.shape
     h, _, d = wq.shape
     kernel = functools.partial(_qkv_attn_kernel, n_real=n_real, bits=bits,
-                               lis=lis)
+                               lis=lis, nheads=h)
     return pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b,),
         in_specs=[
-            pl.BlockSpec((1, npad, cin), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, npad, cin), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wq (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # wk
@@ -189,7 +196,7 @@ def fused_qkv_attention(x_i8, wq, wk, wv, mult, bias, scalars, *, n_real,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
             pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
         ],
-        out_specs=pl.BlockSpec((1, 1, npad, d), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, h, npad, d), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, npad, d), jnp.int8),
         interpret=interpret,
