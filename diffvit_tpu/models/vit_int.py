@@ -363,31 +363,53 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
 
         # ---- mlp ----
         fc1_site = ib["fc1"]
-        if fc1_site["fp"]:
-            y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
-            y = y @ fc1_site["w"].T + fc1_site["b"]
-        else:
-            if cfg.int_norm and b_fc2 != -1:
-                x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
-                                fc1_site.get("ln_out_scale",
-                                             fc1_site["in_scale"]), eps,
-                                rescale=fc1_site.get("ln_rescale"))
-            else:
-                y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
-                x_i8 = _requant_i8(y, fc1_site["in_scale"])
-            y = _int_dot(x_i8, fc1_site["w_int"]).astype(jnp.float32) \
-                * fc1_site["mult"] + fc1_site["b"]
-        y = jax.nn.gelu(y, approximate=False)
         fc2_site = ib["fc2"]
-        if fc2_site["fp"]:
-            y = _fq_site(ib["mlp.qact1"], y, bt_a)
-            y = y @ fc2_site["w"].T + fc2_site["b"]
+        mlp_fused = (use_pallas and cfg.int_norm and not fc1_site["fp"]
+                     and not fc2_site["fp"] and b_fc2 != -1)
+        if mlp_fused:
+            from ..ops.pallas.mlp import fused_int_mlp
+
+            x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
+                            fc1_site.get("ln_out_scale",
+                                         fc1_site["in_scale"]), eps,
+                            rescale=fc1_site.get("ln_rescale"))
+            rows = B * N
+            block = 512
+            rpad = _round_up(rows, block)
+            x_flat = jnp.pad(x_i8.reshape(rows, -1), ((0, rpad - rows), (0, 0)))
+            y = fused_int_mlp(
+                x_flat, fc1_site["w_int"], fc2_site["w_int"],
+                fc1_site["mult"], fc1_site["b"], fc2_site["mult"],
+                fc2_site["b"], ib["mlp.qact2"]["scale"],
+                ib["mlp.qact1"]["scale"], block_rows=block,
+                interpret=pallas_interpret)
+            y = y[:rows].reshape(B, N, -1)
+            h = _fq_site(ib["qact4"], h + y, bt_a)
         else:
-            y_i8 = _requant_i8(y, ib["mlp.qact1"]["scale"])
-            y = _int_dot(y_i8, fc2_site["w_int"]).astype(jnp.float32) \
-                * fc2_site["mult"] + fc2_site["b"]
-        y = _fq_site(ib["mlp.qact2"], y, bt_a)
-        h = _fq_site(ib["qact4"], h + y, bt_a)
+            if fc1_site["fp"]:
+                y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
+                y = y @ fc1_site["w"].T + fc1_site["b"]
+            else:
+                if cfg.int_norm and b_fc2 != -1:
+                    x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
+                                    fc1_site.get("ln_out_scale",
+                                                 fc1_site["in_scale"]), eps,
+                                    rescale=fc1_site.get("ln_rescale"))
+                else:
+                    y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
+                    x_i8 = _requant_i8(y, fc1_site["in_scale"])
+                y = _int_dot(x_i8, fc1_site["w_int"]).astype(jnp.float32) \
+                    * fc1_site["mult"] + fc1_site["b"]
+            y = jax.nn.gelu(y, approximate=False)
+            if fc2_site["fp"]:
+                y = _fq_site(ib["mlp.qact1"], y, bt_a)
+                y = y @ fc2_site["w"].T + fc2_site["b"]
+            else:
+                y_i8 = _requant_i8(y, ib["mlp.qact1"]["scale"])
+                y = _int_dot(y_i8, fc2_site["w_int"]).astype(jnp.float32) \
+                    * fc2_site["mult"] + fc2_site["b"]
+            y = _fq_site(ib["mlp.qact2"], y, bt_a)
+            h = _fq_site(ib["qact4"], h + y, bt_a)
 
     # final norm -> cls token -> head
     last_scale = ip["blocks"][-1]["qact4"]["scale"]

@@ -55,6 +55,17 @@ def test_kernel_matches_xla(lis):
         assert (g != r).mean() < 0.02
 
 
+def _assert_paths_agree(got, ref):
+    """The Pallas path's MLP kernel uses a rational erf with |gelu error|
+    <= 7.5e-8*|x| (Mosaic has no erf primitive) — identical int8 codes
+    except for rare exact-boundary elements, so compare by exact-entry
+    fraction + a couple-of-codes bound rather than strict allclose."""
+    got, ref = np.asarray(got), np.asarray(ref)
+    assert np.mean(got == ref) > 0.995, np.mean(got == ref)
+    np.testing.assert_allclose(got, ref, atol=0.05)
+    np.testing.assert_array_equal(got.argmax(1), ref.argmax(1))
+
+
 def test_full_model_pallas_vs_xla_path():
     spec = vit.ViTSpec("t", embed_dim=64, depth=2, num_heads=2, num_classes=10)
     cfg = QuantConfig()
@@ -65,8 +76,7 @@ def test_full_model_pallas_vs_xla_path():
     ref = vit_int.forward_q_int(ip, spec, cfg, x, use_pallas=False)
     got = vit_int.forward_q_int(ip, spec, cfg, x, use_pallas=True,
                                 pallas_interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
+    _assert_paths_agree(got, ref)
 
 
 def test_fully_fused_qkv_attention_model():
@@ -82,5 +92,4 @@ def test_fully_fused_qkv_attention_model():
         ref = vit_int.forward_q_int(ip, spec, cfg, x, use_pallas=False)
         got = vit_int.forward_q_int(ip, spec, cfg, x, use_pallas=True,
                                     pallas_interpret=True)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   rtol=2e-4, atol=2e-4)
+        _assert_paths_agree(got, ref)
