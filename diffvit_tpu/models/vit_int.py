@@ -295,7 +295,11 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
             from ..ops.pallas.attention import fused_qkv_attention
 
             # rows only need sublane (8) alignment; 200 instead of 256 cuts
-            # ~22% of the LIS VPU work for the 197-token sequence
+            # ~22% of the LIS VPU work for the 197-token sequence.
+            # (fused_attention_block, which additionally folds proj +
+            # residual + fences into the kernel, measured 17% SLOWER here:
+            # the f32 residual blocks double per-program DMA and the K=64
+            # per-head proj slices starve the MXU — kept as an alternative.)
             npad = _round_up(N, 8)
             x_p = jnp.pad(x_i8, ((0, 0), (0, npad - N), (0, 0)))
             scalars2 = jnp.stack([

@@ -168,6 +168,114 @@ def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, mult_ref, bias_ref,
         a_cur, v_cur = a_next, v_next
 
 
+def _attn_block_kernel(x_ref, h_ref, wq_ref, wk_ref, wv_ref, wp_ref,
+                       mult_ref, bias_ref, pvec_ref, scal_ref, out_ref, *,
+                       n_real, bits, lis, nheads):
+    # Everything _qkv_attn_kernel does, plus the proj matmul accumulated
+    # across heads and the qact3 / residual-add / qact2 fences — the whole
+    # attention half of a block in one kernel.
+    # h_ref:   (1, N, C) f32 — residual stream
+    # wp_ref:  (H, D, C) int8 — per-head proj weight blocks
+    # pvec_ref:(4, C) f32 — [mult_p (s2*s_wp), bias_p, qact3 scale (PTF),
+    #          qact2 scale (PTF)]
+    # out_ref: (1, N, C) f32 — the updated residual stream
+    s_a = scal_ref[0]
+    c1 = scal_ref[1]
+    s1_inv = scal_ref[2]
+    s1_over_s2 = scal_ref[3]
+
+    x = x_ref[0]
+    npad = x.shape[0]
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+
+    def head_proj(w_ref, slot, h):
+        acc = jax.lax.dot_general(
+            x, w_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = acc.astype(jnp.float32) * mult_ref[slot, h][None, :] \
+            + bias_ref[slot, h][None, :]
+        return jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0) \
+            .astype(jnp.bfloat16)
+
+    def scores_of(h):
+        q = head_proj(wq_ref, 0, h)
+        k = head_proj(wk_ref, 1, h)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.clip(jnp.round(s * c1), -128.0, 127.0)
+
+    a_cur = scores_of(0)
+    v_cur = head_proj(wv_ref, 2, 0)
+    proj_acc = None
+    for h in range(nheads):
+        a_next = scores_of(h + 1) if h + 1 < nheads else None
+        v_next = head_proj(wv_ref, 2, h + 1) if h + 1 < nheads else None
+        if lis:
+            attn = _lis_body(a_cur, s_a, bits, col_ok)
+        else:
+            logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            attn, v_cur, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_i8 = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0) \
+            .astype(jnp.int8)
+        # accumulate this head's slice of the proj matmul (int32)
+        part = jax.lax.dot_general(
+            o_i8, wp_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        proj_acc = part if proj_acc is None else proj_acc + part
+        a_cur, v_cur = a_next, v_next
+
+    mult_p = pvec_ref[0][None, :]
+    bias_p = pvec_ref[1][None, :]
+    s3 = pvec_ref[2][None, :]
+    s_blk2 = pvec_ref[3][None, :]
+    y = proj_acc.astype(jnp.float32) * mult_p + bias_p
+    y = jnp.clip(jnp.round(y / s3), -128.0, 127.0) * s3      # attn.qact3
+    hn = h_ref[0] + y                                        # residual
+    hn = jnp.clip(jnp.round(hn / s_blk2), -128.0, 127.0) * s_blk2  # qact2
+    out_ref[0] = hn
+
+
+def fused_attention_block(x_i8, h, wq, wk, wv, wp, mult, bias, pvec, scalars,
+                          *, n_real, bits=4, lis=True, interpret=False):
+    """Whole attention half-block: per-head qkv projection, LIS attention,
+    proj, qact3, residual add and the block-level qact2 fence, fused.
+    x_i8: (B, N_pad, Cin) int8 LN codes; h: (B, N_pad, C) f32 residual.
+    wp: (H, D, C) int8; pvec: (4, C) f32 [mult_p, bias_p, s_qact3, s_qact2].
+    Returns the updated residual stream (B, N_pad, C) f32."""
+    b, npad, cin = x_i8.shape
+    hh, _, d = wq.shape
+    c = wp.shape[2]
+    kernel = functools.partial(_attn_block_kernel, n_real=n_real, bits=bits,
+                               lis=lis, nheads=hh)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, npad, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wq
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wk
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wv
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wp
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mult
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # pvec
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=pl.BlockSpec((1, npad, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, npad, c), jnp.float32),
+        interpret=interpret,
+    )(x_i8, h, wq, wk, wv, wp, mult, bias, pvec, scalars)
+
+
 def fused_qkv_attention(x_i8, wq, wk, wv, mult, bias, scalars, *, n_real,
                         bits=4, lis=True, interpret=False):
     """Fully-fused attention: per-head qkv projection + requant + scores +

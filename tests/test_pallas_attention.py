@@ -93,3 +93,57 @@ def test_fully_fused_qkv_attention_model():
         got = vit_int.forward_q_int(ip, spec, cfg, x, use_pallas=True,
                                     pallas_interpret=True)
         _assert_paths_agree(got, ref)
+
+
+def test_fused_attention_block_kernel():
+    """The whole-block kernel (proj+fences fused) — kept as an alternative;
+    verify it matches the default path's math (interpret mode)."""
+    from diffvit_tpu.ops.pallas.attention import fused_attention_block
+
+    rng = np.random.default_rng(2)
+    b, npad, h, d, nreal = 1, 64, 2, 64, 50
+    cin = h * d
+    x = jnp.asarray(rng.integers(-60, 60, (b, npad, cin)), jnp.int8)
+    hres = jnp.asarray(rng.standard_normal((b, npad, cin)), jnp.float32)
+    wq = jnp.asarray(rng.integers(-7, 7, (h, cin, d)), jnp.int8)
+    wk = jnp.asarray(rng.integers(-7, 7, (h, cin, d)), jnp.int8)
+    wv = jnp.asarray(rng.integers(-7, 7, (h, cin, d)), jnp.int8)
+    wp = jnp.asarray(rng.integers(-7, 7, (h, d, cin)), jnp.int8)
+    mult = jnp.full((3, h, d), 2.0**-9, jnp.float32)
+    bias = jnp.zeros((3, h, d), jnp.float32)
+    pvec = jnp.stack([jnp.full((cin,), 2.0**-8), jnp.zeros((cin,)),
+                      jnp.full((cin,), 2.0**-4),
+                      jnp.full((cin,), 2.0**-4)]).astype(jnp.float32)
+    scal = jnp.asarray([2.0**-3, 0.02, 32.0, 1.5], jnp.float32)
+
+    got = fused_attention_block(x, hres, wq, wk, wv, wp, mult, bias, pvec,
+                                scal, n_real=nreal, bits=4, lis=True,
+                                interpret=True)
+
+    # simpler: replicate with jnp directly
+    def proj_head(w, slot):
+        acc = jnp.einsum("bnc,hcd->bhnd", x.astype(jnp.int32),
+                         w.astype(jnp.int32)).astype(jnp.float32)
+        y = acc * mult[slot][None, :, None, :] + bias[slot][None, :, None, :]
+        return jnp.clip(jnp.round(y * scal[2]), -128, 127)
+
+    q, k, v = proj_head(wq, 0), proj_head(wk, 1), proj_head(wv, 2)
+    scores = jnp.einsum("bhnd,bhmd->bhnm", q, k)
+    a_int = jnp.clip(jnp.round(scores * scal[1]), -128, 127)
+    from diffvit_tpu.ops.lis import log_int_softmax_from_int
+    from diffvit_tpu.ops.bit_types import BIT_TYPE_DICT
+
+    col_ok = jnp.arange(npad) < nreal
+    attn = log_int_softmax_from_int(jnp.where(col_ok, a_int, -(2.0**20)),
+                                    scal[0], BIT_TYPE_DICT["uint4"])
+    attn = jnp.where(col_ok, attn, 0.0)
+    o = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+    o8 = jnp.clip(jnp.round(o * scal[3]), -128, 127)
+    y = jnp.einsum("bhnd,hdc->bnc", o8, wp.astype(jnp.float32))
+    y = y * pvec[0] + pvec[1]
+    y = jnp.clip(jnp.round(y / pvec[2]), -128, 127) * pvec[2]
+    ref = hres + y
+    ref = jnp.clip(jnp.round(ref / pvec[3]), -128, 127) * pvec[3]
+    np.testing.assert_allclose(np.asarray(got)[:, :nreal],
+                               np.asarray(ref)[:, :nreal], rtol=2e-4,
+                               atol=2e-4)
