@@ -292,22 +292,25 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
         if not fused2_path:
             qkv_i8 = _requant_i8(y, s1)
         if fused2_path:
-            from ..ops.pallas.attention import fused_qkv_attention
+            from ..ops.pallas.attention import fused_qkv_attention_v2
 
             # rows only need sublane (8) alignment; 200 instead of 256 cuts
             # ~22% of the LIS VPU work for the 197-token sequence.
             # (fused_attention_block, which additionally folds proj +
             # residual + fences into the kernel, measured 17% SLOWER here:
             # the f32 residual blocks double per-program DMA and the K=64
-            # per-head proj slices starve the MXU — kept as an alternative.)
+            # per-head proj slices starve the MXU — kept as an alternative.
+            # v2 runs the qkv projection as one full-width matmul instead
+            # of per-head (Cin, 64) slices — 64 output lanes fill half the
+            # 128-wide MXU — measured 15.1 -> 13.4 ms/step at b192.)
             npad = _round_up(N, 8)
             x_p = jnp.pad(x_i8, ((0, 0), (0, npad - N), (0, 0)))
             scalars2 = jnp.stack([
                 s_a, s1 * s1 * spec.attn_scale / s_a, 1.0 / s1, s1 / s2,
             ]).astype(jnp.float32)
-            o_i8 = fused_qkv_attention(
-                x_p, qkv_site["wq_h"], qkv_site["wk_h"], qkv_site["wv_h"],
-                qkv_site["mult_h"], qkv_site["bias_h"], scalars2,
+            o_i8 = fused_qkv_attention_v2(
+                x_p, qkv_site["w_int"], qkv_site["mult"], qkv_site["b"],
+                scalars2, num_heads=n_heads, head_dim=h_dim,
                 n_real=N, bits=bt_s.bits, lis=cfg.lis,
                 interpret=pallas_interpret)
             o_i8 = o_i8[:, :, :N]  # (B, H, N, D)

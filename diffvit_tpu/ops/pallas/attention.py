@@ -168,6 +168,391 @@ def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, mult_ref, bias_ref,
         a_cur, v_cur = a_next, v_next
 
 
+def _qkv_attn_kernel_v2(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
+                        n_real, bits, lis, nheads, head_dim):
+    # v2 of the fully-fused attention: the qkv projection runs as ONE
+    # full-width (N, Cin) @ (Cin, 3C) int8 matmul instead of 3*H per-head
+    # (N, Cin) @ (Cin, D) slices.  D=64 output lanes fill only half the
+    # 128-wide MXU, so the per-head form runs the projection (the dominant
+    # MXU term, ~70% of attention MACs) at ~half efficiency; the full-width
+    # form restores it.  Per-head scores/LIS/attn@v keep the software
+    # pipeline (scores(h+1) issued before LIS(h)).
+    #
+    # x_ref:   (1, N, Cin) int8 — LN output codes, one batch element
+    # w_ref:   (Cin, 3C) int8 — columns ordered [slot(3), head, d]
+    # mb_ref:  (2, 3C) f32 — [mult (s_x*s_w), bias]
+    # scal_ref: SMEM (4,) f32 = [s_a, c1, 1/s1, s1/s2]
+    # out_ref: (1, H, N, D) int8 on the qact2 grid
+    s_a = scal_ref[0]
+    c1 = scal_ref[1]
+    s1_inv = scal_ref[2]
+    s1_over_s2 = scal_ref[3]
+
+    x = x_ref[0]  # (N, Cin) int8
+    npad = x.shape[0]
+    c = nheads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+
+    acc = jax.lax.dot_general(
+        x, w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * mb_ref[0][None, :] + mb_ref[1][None, :]
+    qkv = jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0).astype(jnp.bfloat16)
+
+    def sl(slot, h):
+        lo = slot * c + h * head_dim
+        return jax.lax.slice(qkv, (0, lo), (npad, lo + head_dim))
+
+    def scores_of(h):
+        s = jax.lax.dot_general(
+            sl(0, h), sl(1, h), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return jnp.clip(jnp.round(s * c1), -128.0, 127.0)
+
+    a_cur = scores_of(0)
+    for h in range(nheads):
+        a_next = scores_of(h + 1) if h + 1 < nheads else None
+        if lis:
+            attn = _lis_body(a_cur, s_a, bits, col_ok)
+        else:
+            logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            attn, sl(2, h), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
+        out_ref[0, h] = o.astype(jnp.int8)
+        a_cur = a_next
+
+
+def fused_qkv_attention_v2(x_i8, w_all, mult, bias, scalars, *, num_heads,
+                           head_dim, n_real, bits=4, lis=True,
+                           interpret=False):
+    """v2 fully-fused attention: full-width qkv matmul + per-head LIS loop.
+
+    x_i8: (B, N_pad, Cin) int8 LN codes; w_all: (Cin, 3C) int8 with columns
+    ordered [slot, head, d] (prepare_int's w_int layout); mult/bias: (3C,)
+    f32.  scalars: (4,) f32 [s_a, c1, 1/s1, s1/s2].
+    Returns (B, H, N_pad, D) int8 on the qact2 grid."""
+    b, npad, cin = x_i8.shape
+    c3 = w_all.shape[1]
+    mb = jnp.stack([jnp.broadcast_to(mult, (c3,)),
+                    jnp.broadcast_to(bias, (c3,))]).astype(jnp.float32)
+    kernel = functools.partial(_qkv_attn_kernel_v2, n_real=n_real, bits=bits,
+                               lis=lis, nheads=num_heads, head_dim=head_dim)
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, npad, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_all
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mb
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=pl.BlockSpec((1, num_heads, npad, head_dim),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, npad, head_dim),
+                                       jnp.int8),
+        interpret=interpret,
+    )(x_i8, w_all, mb, scalars)
+
+
+def _qkv_attn_kernel_v3(x_ref, w_ref, mb_ref, scal_ref, out_ref,
+                        acc_ref, *,
+                        n_real, bits, lis, nheads, head_dim, nelems):
+    # v3: v2 + cross-grid-step software pipelining.  TPU Pallas grid steps
+    # run sequentially on the core with persistent VMEM scratch, so program
+    # i issues batch-element i's full-width qkv matmul (MXU) into a
+    # double-buffered int32 scratch and then runs element i-1's
+    # scores/LIS/attn@v loop (VPU-heavy) out of the other buffer: the big
+    # projection matmul of the NEXT element hides under the CURRENT
+    # element's LIS chain.  v2 measured the LIS VPU delta (+4.4 ms/step at
+    # DeiT-S b192) completely unoverlapped; this recovers it.
+    i = pl.program_id(0)
+    last = pl.num_programs(0) - 1  # == nelems
+    s_a = scal_ref[0]
+    c1 = scal_ref[1]
+    s1_inv = scal_ref[2]
+    s1_over_s2 = scal_ref[3]
+
+    npad = x_ref.shape[1]
+    c = nheads * head_dim
+
+    # -- produce: qkv int32 accumulator for element i into slot i%2 --
+    @pl.when(i < last)
+    def _produce():
+        acc = jax.lax.dot_general(
+            x_ref[0], w_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_ref[jax.lax.rem(i, 2)] = acc
+
+    # -- consume: element i-1 from slot (i-1)%2 --
+    @pl.when(i > 0)
+    def _consume():
+        acc = acc_ref[jax.lax.rem(i + 1, 2)]
+        y = acc.astype(jnp.float32) * mb_ref[0][None, :] + mb_ref[1][None, :]
+        qkv = jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0) \
+            .astype(jnp.bfloat16)
+        col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+        col_ok = col < n_real
+
+        def sl(slot, h):
+            lo = slot * c + h * head_dim
+            return jax.lax.slice(qkv, (0, lo), (npad, lo + head_dim))
+
+        def scores_of(h):
+            s = jax.lax.dot_general(
+                sl(0, h), sl(1, h), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.clip(jnp.round(s * c1), -128.0, 127.0)
+
+        a_cur = scores_of(0)
+        for h in range(nheads):
+            a_next = scores_of(h + 1) if h + 1 < nheads else None
+            if lis:
+                attn = _lis_body(a_cur, s_a, bits, col_ok)
+            else:
+                logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
+                attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                attn, sl(2, h), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
+            out_ref[0, h] = o.astype(jnp.int8)
+            a_cur = a_next
+
+
+def fused_qkv_attention_v3(x_i8, w_all, mult, bias, scalars, *, num_heads,
+                           head_dim, n_real, bits=4, lis=True,
+                           interpret=False):
+    """Grid-pipelined fully-fused attention (see _qkv_attn_kernel_v3).
+
+    Same contract as fused_qkv_attention_v2."""
+    b, npad, cin = x_i8.shape
+    c3 = w_all.shape[1]
+    mb = jnp.stack([jnp.broadcast_to(mult, (c3,)),
+                    jnp.broadcast_to(bias, (c3,))]).astype(jnp.float32)
+    kernel = functools.partial(_qkv_attn_kernel_v3, n_real=n_real, bits=bits,
+                               lis=lis, nheads=num_heads, head_dim=head_dim,
+                               nelems=b)
+    bm1 = b - 1
+    return pl.pallas_call(
+        kernel,
+        grid=(b + 1,),
+        in_specs=[
+            pl.BlockSpec((1, npad, cin),
+                         lambda i: (jnp.minimum(i, bm1), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_all
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mb
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=pl.BlockSpec((1, num_heads, npad, head_dim),
+                               lambda i: (jnp.maximum(i - 1, 0), 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, npad, head_dim),
+                                       jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, npad, c3), jnp.int32),
+        ],
+        interpret=interpret,
+    )(x_i8, w_all, mb, scalars)
+
+
+def _qkv_attn_kernel_v4(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
+                        n_real, bits, lis, nheads, head_dim, group):
+    # v4: v2 with GROUP batch elements per program.  All full-width qkv
+    # matmuls (MXU) are issued before any element's requant/LIS loop (VPU),
+    # so element g+1's projection hides under element g's LIS chain, and
+    # the per-head scores/attn@v pipeline interleaves across elements.
+    s_a = scal_ref[0]
+    c1 = scal_ref[1]
+    s1_inv = scal_ref[2]
+    s1_over_s2 = scal_ref[3]
+
+    npad = x_ref.shape[1]
+    c = nheads * head_dim
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+
+    # issue every element's projection first: MXU bursts the VPU work of
+    # earlier elements can hide under
+    accs = [jax.lax.dot_general(
+        x_ref[g], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32) for g in range(group)]
+
+    for g in range(group):
+        y = accs[g].astype(jnp.float32) * mb_ref[0][None, :] \
+            + mb_ref[1][None, :]
+        qkv = jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0) \
+            .astype(jnp.bfloat16)
+
+        def sl(slot, h, q=qkv):
+            lo = slot * c + h * head_dim
+            return jax.lax.slice(q, (0, lo), (npad, lo + head_dim))
+
+        def scores_of(h, q=qkv):
+            s = jax.lax.dot_general(
+                sl(0, h, q), sl(1, h, q), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.clip(jnp.round(s * c1), -128.0, 127.0)
+
+        a_cur = scores_of(0)
+        for h in range(nheads):
+            a_next = scores_of(h + 1) if h + 1 < nheads else None
+            if lis:
+                attn = _lis_body(a_cur, s_a, bits, col_ok)
+            else:
+                logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
+                attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                attn, sl(2, h), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
+            out_ref[g, h] = o.astype(jnp.int8)
+            a_cur = a_next
+
+
+def fused_qkv_attention_v4(x_i8, w_all, mult, bias, scalars, *, num_heads,
+                           head_dim, n_real, bits=4, lis=True, group=2,
+                           interpret=False):
+    """v4: v2 with multi-element programs (see _qkv_attn_kernel_v4).
+    Same contract as fused_qkv_attention_v2; b must be divisible by group
+    (callers pad the batch or pick group=1)."""
+    b, npad, cin = x_i8.shape
+    c3 = w_all.shape[1]
+    while b % group:
+        group //= 2
+    mb = jnp.stack([jnp.broadcast_to(mult, (c3,)),
+                    jnp.broadcast_to(bias, (c3,))]).astype(jnp.float32)
+    kernel = functools.partial(_qkv_attn_kernel_v4, n_real=n_real, bits=bits,
+                               lis=lis, nheads=num_heads, head_dim=head_dim,
+                               group=group)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // group,),
+        in_specs=[
+            pl.BlockSpec((group, npad, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w_all
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mb
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scalars
+        ],
+        out_specs=pl.BlockSpec((group, num_heads, npad, head_dim),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, npad, head_dim),
+                                       jnp.int8),
+        interpret=interpret,
+    )(x_i8, w_all, mb, scalars)
+
+
+def _qkv_attn_kernel_v5(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
+                        n_real, bits, lis, nheads, head_dim):
+    # v5 experiment: two elements per program, element B's full-width qkv
+    # matmul issued in column chunks INTERLEAVED between element A's
+    # per-head LIS calls (forcing fine-grained MXU/VPU alternation in the
+    # instruction stream).
+    s_a = scal_ref[0]
+    c1 = scal_ref[1]
+    s1_inv = scal_ref[2]
+    s1_over_s2 = scal_ref[3]
+
+    npad = x_ref.shape[1]
+    c = nheads * head_dim
+    c3 = 3 * c
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+    nchunk = 2 * nheads  # B-matmul chunks to scatter through A's loop
+    csz = c3 // nchunk
+
+    def requant(acc):
+        y = acc.astype(jnp.float32) * mb_ref[0][None, :] + mb_ref[1][None, :]
+        return jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0) \
+            .astype(jnp.bfloat16)
+
+    def chunk_dot(g, j):
+        wj = jax.lax.slice(w_ref[...], (0, j * csz), (c, (j + 1) * csz))
+        return jax.lax.dot_general(
+            x_ref[g], wj, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def head_loop(qkv, g):
+        def sl(slot, h):
+            lo = slot * c + h * head_dim
+            return jax.lax.slice(qkv, (0, lo), (npad, lo + head_dim))
+
+        def scores_of(h):
+            s = jax.lax.dot_general(
+                sl(0, h), sl(1, h), (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            return jnp.clip(jnp.round(s * c1), -128.0, 127.0)
+
+        a_cur = scores_of(0)
+        outs = []
+        for h in range(nheads):
+            if g == 0:
+                # scatter two chunks of B's projection before each LIS
+                yield ("mxu", 2 * h)
+                yield ("mxu", 2 * h + 1)
+            a_next = scores_of(h + 1) if h + 1 < nheads else None
+            if lis:
+                attn = _lis_body(a_cur, s_a, bits, col_ok)
+            else:
+                logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
+                attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                attn, sl(2, h), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = jnp.clip(jnp.round(o * s1_over_s2), -128.0, 127.0)
+            out_ref[g, h] = o.astype(jnp.int8)
+            a_cur = a_next
+
+    # element A: projection + requant up front
+    qkv_a = requant(jax.lax.dot_general(
+        x_ref[0], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32))
+    # drive A's loop, issuing B's chunks at the yield points
+    b_chunks = [None] * nchunk
+    for tag, j in head_loop(qkv_a, 0):
+        b_chunks[j] = chunk_dot(1, j)
+    qkv_b = requant(jnp.concatenate(b_chunks, axis=1))
+    for _ in head_loop(qkv_b, 1):
+        pass
+
+
+def fused_qkv_attention_v5(x_i8, w_all, mult, bias, scalars, *, num_heads,
+                           head_dim, n_real, bits=4, lis=True,
+                           interpret=False):
+    """v5 experiment (see _qkv_attn_kernel_v5)."""
+    b, npad, cin = x_i8.shape
+    c3 = w_all.shape[1]
+    mb = jnp.stack([jnp.broadcast_to(mult, (c3,)),
+                    jnp.broadcast_to(bias, (c3,))]).astype(jnp.float32)
+    kernel = functools.partial(_qkv_attn_kernel_v5, n_real=n_real, bits=bits,
+                               lis=lis, nheads=num_heads, head_dim=head_dim)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // 2,),
+        in_specs=[
+            pl.BlockSpec((2, npad, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((2, num_heads, npad, head_dim),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_heads, npad, head_dim),
+                                       jnp.int8),
+        interpret=interpret,
+    )(x_i8, w_all, mb, scalars)
+
+
 def _attn_block_kernel(x_ref, h_ref, wq_ref, wk_ref, wv_ref, wp_ref,
                        mult_ref, bias_ref, pvec_ref, scal_ref, out_ref, *,
                        n_real, bits, lis, nheads):
