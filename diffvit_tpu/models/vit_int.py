@@ -308,10 +308,17 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
             scalars2 = jnp.stack([
                 s_a, s1 * s1 * spec.attn_scale / s_a, 1.0 / s1, s1 / s2,
             ]).astype(jnp.float32)
+            # static fast-LIS gate: drop the provably-no-op floor/max on
+            # exp_int when the (concrete, trace-time) softmax scale is in
+            # the validity window — see pallas _lis_body docstring
+            lis_fast = False
+            if not isinstance(s_a, jax.core.Tracer):
+                sv = float(jax.device_get(s_a))
+                lis_fast = 2.0**-10 <= sv <= 0.6931
             o_i8 = fused_qkv_attention_v2(
                 x_p, qkv_site["w_int"], qkv_site["mult"], qkv_site["b"],
                 scalars2, num_heads=n_heads, head_dim=h_dim,
-                n_real=N, bits=bt_s.bits, lis=cfg.lis,
+                n_real=N, bits=bt_s.bits, lis=cfg.lis, lis_fast=lis_fast,
                 interpret=pallas_interpret)
             o_i8 = o_i8[:, :, :N]  # (B, H, N, D)
             # proj consumes the head layout via a joint (H, D) contraction

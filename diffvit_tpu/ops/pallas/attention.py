@@ -39,13 +39,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _lis_body(a_int, scale, bits, col_ok):
+def _lis_body(a_int, scale, bits, col_ok, fast=False):
     """Log-Int-Softmax on integer scores (f32 carrier), cols masked by
     ``col_ok``.  Returns bf16 attention weights.
 
     (A bitcast-based exp2/log2 variant was measured slower than the VPU
     transcendentals here — the int<->float relayouts cost more than the
-    transcendental units; keeping the jnp forms.)"""
+    transcendental units; keeping the jnp forms.)
+
+    VPU pass-count cuts, each provably value-identical to the literal
+    reference form (layers.py:323-376):
+
+    * ``q = floor((x - 0.5)/x0)`` replaces ``floor(x / x0)``: x and x0 are
+      integer-valued with x/x0 in [0, 32] and x0 < 0, so the true quotient
+      is either an exact multiple or at least 1/|x0| above one; the shifted
+      numerator places the computed value 0.5/|x0| above the true quotient
+      with total rounding error <= 33*2^-23, so floor agrees whenever
+      0.5/|x0| is larger than both that error and 1 - (|x0|-0.5)/|x0| —
+      i.e. for every |x0_int| in (0.5, 1.2e5), which s_a >= 2^-17
+      guarantees.  One fma replaces a multi-pass divide.
+    * ``minimum(rounds, 2^bits-1)`` replaces the two-sided clip: m =
+      round(exp_sum/exp_int) >= 1 always (the sum includes the element), so
+      rounds = floor(log2(2m/3)) + 1 >= floor(log2(2/3)) + 1 = 0.
+    * ``fast=True`` (caller asserts s_a in [2^-10, ln2]) additionally drops
+      ``maximum(floor(poly * 2^(n-q)), 0)``: poly = r(r+b_int)+c_int is a
+      positive integer < 2^24 on the clamped r range (minimum over
+      r in (x0_int, 0] is ~1.39/s_a^2 > 0, maximum ~4.7/s_a^2 < 2^24 for
+      s_a >= 2^-10, so it is exactly representable), and 2^(n-q) with
+      integer q in [0, 32] is an exact power of two >= 1 — the product is
+      already an exact non-negative integer-valued f32."""
     neg_inf_rows = jnp.where(col_ok, a_int, -jnp.inf)
     x_int = a_int - jnp.max(neg_inf_rows, axis=-1, keepdims=True)
     # int_exp (layers.py:346-358), n = 32
@@ -59,7 +81,10 @@ def _lis_body(a_int, scale, bits, col_ok):
     b_int = jnp.floor((0.96963238 / 0.35815147) / scale)
     c_int = jnp.floor((1.0 / 0.35815147) / (scale * scale))
     poly = r * (r + b_int) + c_int
-    exp_int = jnp.maximum(jnp.floor(poly * jnp.exp2(n - q)), 0.0)
+    if fast:
+        exp_int = poly * jnp.exp2(n - q)
+    else:
+        exp_int = jnp.maximum(jnp.floor(poly * jnp.exp2(n - q)), 0.0)
     exp_int = jnp.where(col_ok, exp_int, 0.0)
     exp_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
     # log2 quantization (layers.py:367-376); exp_int == 0 -> inf -> masked 0
@@ -67,7 +92,7 @@ def _lis_body(a_int, scale, bits, col_ok):
     softmax_inv = jnp.round(exp_sum / exp_int)
     rounds = jnp.floor(jnp.log2(2.0 * softmax_inv / 3.0)) + 1.0
     sat = rounds >= 2.0**bits
-    qlog = jnp.clip(rounds, 0.0, 2.0**bits - 1.0)
+    qlog = jnp.minimum(rounds, 2.0**bits - 1.0)
     deq = jnp.where(sat, 0.0, jnp.exp2(-qlog))
     return deq.astype(jnp.bfloat16)
 
@@ -169,7 +194,8 @@ def _qkv_attn_kernel(x_ref, wq_ref, wk_ref, wv_ref, mult_ref, bias_ref,
 
 
 def _qkv_attn_kernel_v2(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
-                        n_real, bits, lis, nheads, head_dim):
+                        n_real, bits, lis, nheads, head_dim,
+                        lis_fast=False):
     # v2 of the fully-fused attention: the qkv projection runs as ONE
     # full-width (N, Cin) @ (Cin, 3C) int8 matmul instead of 3*H per-head
     # (N, Cin) @ (Cin, D) slices.  D=64 output lanes fill only half the
@@ -180,12 +206,12 @@ def _qkv_attn_kernel_v2(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
     #
     # x_ref:   (1, N, Cin) int8 — LN output codes, one batch element
     # w_ref:   (Cin, 3C) int8 — columns ordered [slot(3), head, d]
-    # mb_ref:  (2, 3C) f32 — [mult (s_x*s_w), bias]
+    # mb_ref:  (2, 3C) f32 — [mult*1/s1, bias*1/s1] (requant grid folded in
+    #          by the wrapper: saves one full pass over the (N, 3C) stream)
     # scal_ref: SMEM (4,) f32 = [s_a, c1, 1/s1, s1/s2]
     # out_ref: (1, H, N, D) int8 on the qact2 grid
     s_a = scal_ref[0]
     c1 = scal_ref[1]
-    s1_inv = scal_ref[2]
     s1_over_s2 = scal_ref[3]
 
     x = x_ref[0]  # (N, Cin) int8
@@ -198,7 +224,7 @@ def _qkv_attn_kernel_v2(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
         x, w_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * mb_ref[0][None, :] + mb_ref[1][None, :]
-    qkv = jnp.clip(jnp.round(y * s1_inv), -128.0, 127.0).astype(jnp.bfloat16)
+    qkv = jnp.clip(jnp.round(y), -128.0, 127.0).astype(jnp.bfloat16)
 
     def sl(slot, h):
         lo = slot * c + h * head_dim
@@ -214,7 +240,7 @@ def _qkv_attn_kernel_v2(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
     for h in range(nheads):
         a_next = scores_of(h + 1) if h + 1 < nheads else None
         if lis:
-            attn = _lis_body(a_cur, s_a, bits, col_ok)
+            attn = _lis_body(a_cur, s_a, bits, col_ok, fast=lis_fast)
         else:
             logits = jnp.where(col_ok, a_cur * s_a, -jnp.inf)
             attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
@@ -227,20 +253,24 @@ def _qkv_attn_kernel_v2(x_ref, w_ref, mb_ref, scal_ref, out_ref, *,
 
 
 def fused_qkv_attention_v2(x_i8, w_all, mult, bias, scalars, *, num_heads,
-                           head_dim, n_real, bits=4, lis=True,
+                           head_dim, n_real, bits=4, lis=True, lis_fast=False,
                            interpret=False):
     """v2 fully-fused attention: full-width qkv matmul + per-head LIS loop.
 
     x_i8: (B, N_pad, Cin) int8 LN codes; w_all: (Cin, 3C) int8 with columns
     ordered [slot, head, d] (prepare_int's w_int layout); mult/bias: (3C,)
     f32.  scalars: (4,) f32 [s_a, c1, 1/s1, s1/s2].
+    lis_fast: caller guarantees s_a in [2^-10, ln2] (see _lis_body).
     Returns (B, H, N_pad, D) int8 on the qact2 grid."""
     b, npad, cin = x_i8.shape
     c3 = w_all.shape[1]
-    mb = jnp.stack([jnp.broadcast_to(mult, (c3,)),
-                    jnp.broadcast_to(bias, (c3,))]).astype(jnp.float32)
+    s1_inv = scalars[2]
+    mb = jnp.stack([jnp.broadcast_to(mult, (c3,)) * s1_inv,
+                    jnp.broadcast_to(bias, (c3,)) * s1_inv]) \
+        .astype(jnp.float32)
     kernel = functools.partial(_qkv_attn_kernel_v2, n_real=n_real, bits=bits,
-                               lis=lis, nheads=num_heads, head_dim=head_dim)
+                               lis=lis, nheads=num_heads, head_dim=head_dim,
+                               lis_fast=lis_fast)
     return pl.pallas_call(
         kernel,
         grid=(b,),

@@ -1,17 +1,18 @@
 """Fused integer MLP kernel (Pallas/Mosaic, TPU).
 
-Fuses fc1 -> exact GELU -> qact1 requant -> fc2 -> qact2 (PTF) requant for
-the integer path.  Exact erf GELU costs ~9 ms/step on the VPU for DeiT-S at
-batch 192 — more than the MLP matmuls themselves — so the kernel
-software-pipelines row sub-blocks: sub-block i+1's fc1 (MXU) is issued
-before sub-block i's GELU/requant (VPU), and fc2 (MXU) follows, letting
-Mosaic overlap the units exactly like the fused attention kernel.
+Fuses fc1 -> GELU -> qact1 requant -> fc2 -> qact2 (PTF) requant for the
+integer path, keeping the (rows, hidden) stream out of HBM.  On this
+backend VPU work that consumes matmul results cannot overlap the MXU
+(docs/PERF_ANALYSIS.md), so kernel time is additive MXU + VPU and the
+design minimizes VPU *passes*: a division/exp-free polynomial GELU
+(_gelu_poly), a reciprocal-multiply PTF fence, and 256-row sub-blocks that
+amortize per-op overhead (measured best of 32/64/128/256).
 
 Numerics match models/vit_int's XLA path (int8 matmuls accumulate in int32,
 epilogues in f32) except GELU: Mosaic has no erf primitive, so the kernel
-uses the Abramowitz-Stegun 7.1.26 rational erf (|gelu error| <= 7.5e-8*|x|,
-orders of magnitude below half a qact1 step — downstream int8 codes match
-the exact-erf path except on rare exact-boundary elements).
+uses a degree-14 odd Chebyshev fit (max |gelu error| 4.2e-7 — orders of
+magnitude below half a qact1 step; downstream int8 codes match the
+exact-erf path except on rare exact-boundary elements).
 
 Reference semantics: Mlp.forward (layers_quant.py:318-350) — fc1, GELU,
 qact1, fc2, qact2.
@@ -24,6 +25,40 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+# Chebyshev fit of P(u) = (Phi(sqrt(u)) - 0.5)/sqrt(u) on u in [0, 4.8^2],
+# monomial form in s = 2u/4.8^2 - 1 (see scripts/fit_gelu_poly rationale in
+# the _gelu_poly docstring).  Degree 14; f32 Horner max |gelu error| 4.2e-7.
+_GELU_P = (
+    1.472124849e-01, -7.297769847e-02, 5.292304092e-02, -4.062639499e-02,
+    3.054318039e-02, -2.172870993e-02, 1.438116675e-02, -8.770775982e-03,
+    4.955091684e-03, -2.657164160e-03, 1.281126147e-03, -4.793797861e-04,
+    2.049043369e-04, -1.477622323e-04, 5.339506681e-05,
+)
+_GELU_B2 = 4.8 * 4.8
+
+
+def _gelu_poly(x):
+    """Division/exp-free GELU: Phi(x) = clip(0.5 + x*P(min(x^2, 4.8^2)), 0, 1)
+    with P the degree-14 Chebyshev fit above; gelu = x*Phi(x).
+
+    Phi(x) - 0.5 is odd, so x*P(x^2) halves the polynomial length.  Beyond
+    |x| > 4.8 the clamped argument makes 0.5 + x*P monotone past the [0,1]
+    bounds, so the clip reproduces the saturated tails exactly (the true
+    tail error there is 1-Phi(4.8) = 7.9e-7).  Max |gelu error| 4.2e-7 in
+    f32 — same class as the A&S rational erf, but every op is a
+    single-pass fma on the VPU: no divide, no exp, no sign/abs.  On this
+    backend VPU work that consumes matmul results cannot overlap the MXU
+    (see docs/PERF_ANALYSIS.md), so the GELU chain is pure exposed time —
+    measured ~1.3 ms/step cheaper than the A&S form at DeiT-S b192."""
+    u = jnp.minimum(x * x, _GELU_B2)
+    s = u * (2.0 / _GELU_B2) - 1.0
+    p = _GELU_P[-1]
+    for coef in _GELU_P[-2::-1]:
+        p = p * s + coef
+    phi = jnp.clip(0.5 + x * p, 0.0, 1.0)
+    return x * phi
 
 
 def _gelu_exact_approx(x):
@@ -47,7 +82,9 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
     # x_ref:  (M, Cin) int8 — row block of LN output codes
     # w1_ref: (Cin, Hid) int8;  w2_ref: (Hid, Cout) int8
     # v1_ref: (2, Hid) f32 — [mult1 (in_scale*s_w1), bias1]
-    # v2_ref: (3, Cout) f32 — [mult2 (s_q1*s_w2), bias2, out_scale (PTF)]
+    # v2_ref: (4, Cout) f32 — [mult2 (s_q1*s_w2), bias2, out_scale (PTF),
+    #         1/out_scale] (reciprocal precomputed: one VPU mul instead of a
+    #         multi-pass per-channel divide in the fence)
     # scal_ref: SMEM (1,) f32 — [1/s_q1]
     # out_ref: (M, Cout) f32 — qact2-quantized MLP output
     s_q1_inv = scal_ref[0]
@@ -56,6 +93,7 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
     mult2 = v2_ref[0][None, :]
     bias2 = v2_ref[1][None, :]
     out_scale = v2_ref[2][None, :]
+    inv_out_scale = v2_ref[3][None, :]
 
     def fc1(i):
         xs = x_ref[pl.ds(i * sub, sub), :]
@@ -65,7 +103,7 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
         return acc.astype(jnp.float32) * mult1 + bias1
 
     def gelu_requant(mid):
-        g = _gelu_exact_approx(mid)
+        g = _gelu_poly(mid)
         return jnp.clip(jnp.round(g * s_q1_inv), -128.0, 127.0) \
             .astype(jnp.int8)
 
@@ -75,7 +113,7 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * mult2 + bias2
         # mlp.qact2 fence (PTF per-channel)
-        y = jnp.clip(jnp.round(y / out_scale), -128.0, 127.0) * out_scale
+        y = jnp.clip(jnp.round(y * inv_out_scale), -128.0, 127.0) * out_scale
         out_ref[pl.ds(i * sub, sub), :] = y
 
     mid_cur = fc1(0)
@@ -87,7 +125,7 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
 
 
 def fused_int_mlp(x_i8, w1, w2, mult1, bias1, mult2, bias2, out_scale,
-                  s_q1, *, block_rows=512, sub=128, interpret=False):
+                  s_q1, *, block_rows=512, sub=256, interpret=False):
     """x_i8: (R, Cin) int8 row-major tokens (R padded to block_rows).
     w1: (Cin, Hid) int8; w2: (Hid, Cout) int8.
     Returns (R, Cout) f32, already on the mlp.qact2 grid."""
@@ -97,9 +135,10 @@ def fused_int_mlp(x_i8, w1, w2, mult1, bias1, mult2, bias2, out_scale,
     assert r % block_rows == 0 and block_rows % sub == 0
     v1 = jnp.stack([jnp.broadcast_to(mult1, (hid,)),
                     jnp.broadcast_to(bias1, (hid,))]).astype(jnp.float32)
+    out_b = jnp.broadcast_to(out_scale, (cout,))
     v2 = jnp.stack([jnp.broadcast_to(mult2, (cout,)),
                     jnp.broadcast_to(bias2, (cout,)),
-                    jnp.broadcast_to(out_scale, (cout,))]).astype(jnp.float32)
+                    out_b, 1.0 / out_b]).astype(jnp.float32)
     scal = jnp.asarray([1.0 / s_q1], jnp.float32)
 
     kernel = functools.partial(_mlp_kernel, sub=sub,
