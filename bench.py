@@ -1,21 +1,208 @@
 #!/usr/bin/env python
-"""Benchmark: quantized DeiT-S forward throughput on one TPU chip.
+"""Benchmark: quantized ViT-family throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the BASELINE.json north-star target of 5000 images/sec/chip for
-PoT-quantized DeiT-S end-to-end eval on v5e-1 (the reference itself publishes
-no throughput numbers — its GPU eval wall-clock is ~150-190 s for a 5k-image
-sweep entry ≈ 30 img/s, BASELINE.md).
+Default (driver) mode prints ONE JSON line
+    {"metric", "value", "unit", "vs_baseline"[, "extra"]}
+for the headline config (PoT-quantized DeiT-S, int4 weights, integer path,
+batch 192).  Baseline: the BASELINE.json north-star target of 5000
+images/sec/chip (the reference publishes no throughput numbers — its GPU
+eval wall-clock is ~150-190 s for a 5k-image sweep entry ≈ 30 img/s,
+BASELINE.md).
+
+``--matrix`` additionally measures the BASELINE.json config set — DeiT-T
+fp32, DeiT-S int8/int4 (int and fake paths), ViT-B int8, Swin-T int8,
+mixed-precision DeiT-S, and a host-pipeline-inclusive number
+(decode→preprocess→H2D→forward on a fake JPEG ImageFolder) — and writes
+BENCH_MATRIX.json.  The default mode attaches the last saved matrix as
+"extra" so the driver's single line carries every row.
 """
 from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
 
 TARGET_IMG_PER_SEC = 5000.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+MATRIX_PATH = os.path.join(REPO, "BENCH_MATRIX.json")
+
+
+def _synth_qp(calibrate_fn, params):
+    """Structurally-real qparams via eval_shape — scale *values* don't
+    affect throughput, and this skips tracing the calibration itself."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    calib = jnp.asarray(rng.standard_normal((2, 3, 224, 224)), jnp.float32)
+    qp_shapes, _ = jax.eval_shape(calibrate_fn, params, calib)
+    return {k: (jnp.zeros(v.shape, v.dtype) if k.endswith(".zp")
+                else jnp.full(v.shape, 2.0**-6, v.dtype))
+            for k, v in qp_shapes.items()}
+
+
+def _chained_throughput(run, batch, steps=20, warmup=2):
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, 3, 224, 224)), jnp.float32)
+
+    # Chained, data-dependent steps: on virtualized TPU backends,
+    # independent dispatches of the same executable can overlap across
+    # backing hardware, making fire-and-forget timing meaningless.
+    # Host-dispatched (not fori_loop) so the Pallas kernels work (axon
+    # INTERNAL error inside fori_loop; see models/vit_int.py).
+    @jax.jit
+    def step_chained(x):
+        logits = run(x)
+        return x * (1.0 + 1e-12 * jnp.sum(logits))
+
+    for _ in range(warmup):
+        x = step_chained(x)
+    x.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        x = step_chained(x)
+    x.block_until_ready()
+    dt = time.perf_counter() - t0
+    return batch * steps / dt
+
+
+def bench_vit(model, bits, path, batch, steps=20, bit_config=None):
+    import jax
+
+    from diffvit_tpu.config import QuantConfig
+    from diffvit_tpu.models import vit
+
+    spec = vit.VIT_SPECS[model]
+    cfg = QuantConfig()
+    params = vit.init_params(spec, jax.random.PRNGKey(0))
+
+    if path == "fp32":
+        run = lambda x: vit.forward_fp(params, spec, x)
+        return _chained_throughput(run, batch, steps)
+
+    qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
+    if bit_config is None:
+        bit_config = (bits,) * vit.num_bit_slots(spec)
+
+    if path == "int":
+        from diffvit_tpu.models import vit_int
+
+        ip = vit_int.prepare_int(params, qp, spec, cfg, bit_config)
+        run = lambda x: vit_int.forward_q_int(ip, spec, cfg, x)
+    else:
+        run = lambda x: vit.forward_q(params, qp, spec, cfg, x, bit_config)
+    return _chained_throughput(run, batch, steps)
+
+
+def bench_swin(model, bits, batch, steps=10):
+    import jax
+
+    from diffvit_tpu.config import QuantConfig
+    from diffvit_tpu.models import swin, swin_int
+
+    spec = swin.SWIN_SPECS[model]
+    cfg = QuantConfig()
+    params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
+    qp = _synth_qp(lambda p, b: swin.calibrate(p, spec, cfg, b), params)
+    ip = swin_int.prepare_int(params, qp, spec, cfg, bits)
+    run = lambda x: swin_int.forward_q_int(ip, spec, cfg, x)
+    return _chained_throughput(run, batch, steps)
+
+
+def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512):
+    """Host-pipeline-inclusive eval: JPEG decode -> resize/crop/normalize
+    -> H2D -> integer forward, threaded prefetch loader.  This host has ONE
+    CPU core, so the number is honestly host-bound — reported as its own
+    row, not hidden."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from diffvit_tpu.config import QuantConfig
+    from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, \
+        build_transform
+    from diffvit_tpu.data.synthetic import make_fake_imagefolder
+    from diffvit_tpu.models import vit, vit_int
+
+    spec = vit.VIT_SPECS[model]
+    cfg = QuantConfig()
+    params = vit.init_params(spec, jax.random.PRNGKey(0))
+    qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
+    ip = vit_int.prepare_int(params, qp, spec, cfg,
+                             (bits,) * vit.num_bit_slots(spec))
+    fwd = jax.jit(lambda x: vit_int.forward_q_int(ip, spec, cfg, x))
+
+    with tempfile.TemporaryDirectory() as root:
+        make_fake_imagefolder(root, num_classes=8,
+                              per_class=n_images // 8, size=256)
+        ds = ImageFolder(root, build_transform())
+        loader = DataLoader(ds, batch_size=batch, num_workers=8,
+                            drop_last=True)
+        # warm the compile outside the timed loop
+        fwd(jnp.zeros((batch, 3, 224, 224), jnp.float32)).block_until_ready()
+        # eval batches are independent: dispatch asynchronously and block
+        # once at the end, exactly like a production eval loop — per-call
+        # blocking would serialize on the axon tunnel's ~0.7 s dispatch
+        # round-trip, which measures the tunnel, not the pipeline
+        n = 0
+        outs = []
+        t0 = time.perf_counter()
+        for imgs, _ in loader:
+            outs.append(fwd(jnp.asarray(imgs)))
+            n += imgs.shape[0]
+        for o in outs:
+            o.block_until_ready()
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
+def run_matrix():
+    rows = []
+
+    def add(name, fn, **kw):
+        t0 = time.perf_counter()
+        try:
+            v = fn(**kw)
+            rows.append({"config": name, "img_per_sec": round(v, 1)})
+            print(f"  {name:42s} {v:9.1f} img/s "
+                  f"[{time.perf_counter()-t0:.0f}s]", flush=True)
+        except Exception as e:  # record failures honestly
+            rows.append({"config": name, "error": str(e)[:200]})
+            print(f"  {name:42s} FAILED: {e}", flush=True)
+
+    add("deit_small_int4_int_b192", bench_vit,
+        model="deit_small", bits=4, path="int", batch=192)
+    add("deit_small_int8_int_b192", bench_vit,
+        model="deit_small", bits=8, path="int", batch=192)
+    add("deit_small_int4_fake_b192", bench_vit,
+        model="deit_small", bits=4, path="fake", batch=192)
+    add("deit_tiny_fp32_b256", bench_vit,
+        model="deit_tiny", bits=0, path="fp32", batch=256)
+    add("vit_base_int8_int_b96", bench_vit,
+        model="vit_base", bits=8, path="int", batch=96)
+    add("swin_tiny_int8_int_b64", bench_swin,
+        model="swin_tiny", bits=8, batch=64)
+    # mixed-precision: alternating 4/8 per block as the evolutionary
+    # search would produce (one retrace/compile, then steady state)
+    from diffvit_tpu.models import vit as _vit
+    nslots = _vit.num_bit_slots(_vit.VIT_SPECS["deit_small"])
+    mixed = tuple(4 if i % 2 else 8 for i in range(nslots))
+    add("deit_small_mixed48_int_b192", bench_vit,
+        model="deit_small", bits=4, path="int", batch=192, bit_config=mixed)
+    add("pipeline_e2e_jpeg_deit_small_int4_b64", bench_pipeline)
+
+    payload = {"rows": rows, "unit": "images/sec/chip",
+               "target": TARGET_IMG_PER_SEC}
+    with open(MATRIX_PATH, "w") as f:
+        json.dump(payload, f, indent=1)
+    return payload
 
 
 def main():
@@ -23,82 +210,30 @@ def main():
     ap.add_argument("--model", default="deit_small")
     ap.add_argument("--bits", default=4, type=int)
     ap.add_argument("--batch", default=192, type=int,
-                    help="192 is the measured throughput sweet spot on v5e-1")
+                    help="192 is the measured throughput sweet spot")
     ap.add_argument("--steps", default=30, type=int)
-    ap.add_argument("--warmup", default=5, type=int)
-    ap.add_argument("--path", default="int", choices=["int", "fake"],
-                    help="int = real int8 MXU kernels; fake = reference-style "
-                         "simulated quantization")
+    ap.add_argument("--path", default="int",
+                    choices=["int", "fake", "fp32"])
+    ap.add_argument("--matrix", action="store_true",
+                    help="measure the full BASELINE.json config set and "
+                         "write BENCH_MATRIX.json")
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
+    if args.matrix:
+        run_matrix()
 
-    from diffvit_tpu.config import QuantConfig
-    from diffvit_tpu.models import vit
-
-    spec = vit.VIT_SPECS[args.model]
-    cfg = QuantConfig()
-    params = vit.init_params(spec, jax.random.PRNGKey(0))
-    rng = np.random.default_rng(0)
-
-    # Synthesize structurally-real qparams via eval_shape — scale *values*
-    # don't affect throughput, and this keeps the bench from paying the
-    # calibration trace on every run.
-    calib = jnp.asarray(rng.standard_normal((8, 3, 224, 224)), jnp.float32)
-    qp_shapes, _ = jax.eval_shape(
-        lambda p, b: vit.calibrate(p, spec, cfg, b), params, calib)
-    qp = {k: (jnp.zeros(v.shape, v.dtype) if k.endswith(".zp")
-              else jnp.full(v.shape, 2.0**-6, v.dtype))
-          for k, v in qp_shapes.items()}
-
-    bit_config = (args.bits,) * vit.num_bit_slots(spec)
-
-    if args.path == "int":
-        from diffvit_tpu.models import vit_int
-
-        ip = vit_int.prepare_int(params, qp, spec, cfg, bit_config)
-        # ip mixes arrays with static metadata (bit_config, fp flags) —
-        # close over it so jit treats the statics as Python constants
-        step = jax.jit(lambda x: vit_int.forward_q_int(ip, spec, cfg, x))
-        run = step
-    else:
-        @jax.jit
-        def step(params, qp, x):
-            return vit.forward_q(params, qp, spec, cfg, x, bit_config)
-
-        run = lambda x: step(params, qp, x)
-
-    x = jnp.asarray(rng.standard_normal((args.batch, 3, 224, 224)), jnp.float32)
-
-    # Chained, data-dependent steps: on virtualized TPU backends,
-    # independent dispatches of the same executable can overlap across
-    # backing hardware, making fire-and-forget timing meaningless.  Feeding
-    # a (negligible) function of step i's output into step i+1 forces true
-    # sequential single-chip execution.  Host-dispatched (not fori_loop) so
-    # the Pallas attention kernel path works (see models/vit_int.py note);
-    # the ~1 ms/step dispatch overhead makes this slightly conservative.
-
-    @jax.jit
-    def step_chained(x):
-        logits = run(x)
-        return x * (1.0 + 1e-12 * jnp.sum(logits))
-
-    x = step_chained(x)
-    x.block_until_ready()  # compile + warm
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        x = step_chained(x)
-    x.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    img_per_sec = args.batch * args.steps / dt
-    print(json.dumps({
+    v = bench_vit(args.model, args.bits, args.path, args.batch,
+                  steps=args.steps)
+    out = {
         "metric": f"{args.model}_int{args.bits}_{args.path}_throughput",
-        "value": round(img_per_sec, 1),
+        "value": round(v, 1),
         "unit": "images/sec/chip",
-        "vs_baseline": round(img_per_sec / TARGET_IMG_PER_SEC, 4),
-    }))
+        "vs_baseline": round(v / TARGET_IMG_PER_SEC, 4),
+    }
+    if os.path.exists(MATRIX_PATH):
+        with open(MATRIX_PATH) as f:
+            out["extra"] = json.load(f)["rows"]
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -41,18 +41,53 @@ def _order_for(spec, module_taps: bool):
     return order
 
 
+def _order_for_swin(spec):
+    """Swin tap ordering = torch named_modules registration order of the
+    QConv2d/QLinear set (the reference's hooks are module-type generic,
+    cka_utility.py:44-47, so a working upstream Swin would be harvested in
+    exactly this order): patch conv, per stage [per block qkv/proj/fc1/fc2,
+    then the stage's downsample reduction], head.  Swin's WindowAttention /
+    Mlp are distinct classes from the ViT ones the FP-mode hooks import, so
+    module-taps mode uses the same set."""
+    order = ["patch_embed.proj"]
+    for s, depth in enumerate(spec.depths):
+        for b in range(depth):
+            p = f"layers.{s}.blocks.{b}"
+            order += [f"{p}.attn.qkv", f"{p}.attn.proj",
+                      f"{p}.mlp.fc1", f"{p}.mlp.fc2"]
+        if s < spec.num_layers - 1:
+            order.append(f"layers.{s}.downsample.reduction")
+    order.append("head")
+    return order
+
+
 def get_activations(model, images, bit_config=None, quant=None,
                     normalize_act=False, layer_indices=None):
     """Run ``model`` (engine.QuantizedViT) on ``images`` and return the
     ordered activation list.  ``quant`` defaults to whether the model is
     calibrated, matching the reference where the model's quant flags decide.
-    ``layer_indices``: optional single relative index — returns
-    ([act], [info]) like cka_utility.py:92-110."""
+    Supports both ViT/DeiT and Swin models (the reference's hooks are
+    module-type generic).  ``layer_indices``: optional single relative
+    index — returns ([act], [info]) like cka_utility.py:92-110."""
     if quant is None:
         quant = model.qparams is not None
     taps: list = []
     fn_taps = taps
-    if quant:
+    is_swin = getattr(model, "is_swin", False)
+    if is_swin:
+        from ..models import swin as swin_mod
+
+        if quant:
+            bit = int(bit_config) if isinstance(bit_config, (int, float)) \
+                else (int(bit_config[0]) if bit_config is not None
+                      else model.cfg.bit_w.bits)
+            out = swin_mod.forward_q(model.params, model.qparams, model.spec,
+                                     model.cfg, jnp.asarray(images),
+                                     bit=bit, taps=fn_taps)
+        else:
+            out = swin_mod.forward_fp(model.params, model.spec,
+                                      jnp.asarray(images), taps=fn_taps)
+    elif quant:
         out = vit_mod.forward_q(model.params, model.qparams, model.spec,
                                 model.cfg, jnp.asarray(images),
                                 bit_config, taps=fn_taps)
@@ -60,8 +95,16 @@ def get_activations(model, images, bit_config=None, quant=None,
         out = vit_mod.forward_fp(model.params, model.spec,
                                  jnp.asarray(images), taps=fn_taps)
     tap_dict = dict(taps)
-    order = _order_for(model.spec, module_taps=bit_config is None)
-    acts = [tap_dict[name] for name in order]
+    order = _order_for_swin(model.spec) if is_swin else \
+        _order_for(model.spec, module_taps=bit_config is None)
+    if is_swin:
+        # window-partitioned sites tap as (B*nW, ws^2, C); fold the window
+        # axis back into features so every activation is batch-major (the
+        # CKA/DDV consumers flatten per sample)
+        b = jnp.asarray(images).shape[0]
+        acts = [tap_dict[name].reshape(b, -1) for name in order]
+    else:
+        acts = [tap_dict[name] for name in order]
     infos = [{"relative_index": i, "name": name}
              for i, name in enumerate(order)]
     if layer_indices is not None:

@@ -157,6 +157,29 @@ def minmax_act_qparams(x, bit_type: BitType, attn_replay=None, stats=None):
     return scale, jnp.zeros_like(scale)
 
 
+def minmax_act_qparams_asymmetric(x, bit_type: BitType, stats=None):
+    """The uint8 asymmetric QAct path (layers.py:207-212 retags the site's
+    observer/quantizer to uint8 with ``symmetric=False`` when
+    ``asymmetric=True``; minmax.py:263-271 is the non-symmetric branch):
+    scale = (max-min)/(qmax-qmin), zp = clamp(qmin - round(min/scale)),
+    then the same 4-candidate PoT search scores fake-quant WITH the zero
+    point.  Unused by every active reference call site (all pass
+    asymmetric=False) but part of the published QAct surface."""
+    mx, mn = stats if stats is not None else act_minmax(x, channel_wise=False)
+    qmax, qmin = bit_type.upper_bound, bit_type.lower_bound
+    base = jnp.maximum((mx - mn) / float(qmax - qmin), _EPS)
+    zp = jnp.clip(qmin - jnp.round(mn / base), qmin, qmax)
+    af = round_ln(base, "floor")
+    scores = []
+    for off in _POT_OFFSETS:
+        s = 2.0 ** (af + off)
+        xq = fake_quant(x, s, zp, bit_type)
+        scores.append(jnp.mean((xq - x) ** 2))
+    idx = jnp.argmin(jnp.stack(scores))
+    alpha = af - 1.0 + idx.astype(af.dtype)
+    return jnp.maximum(2.0**alpha, _EPS), zp
+
+
 # ---------------------------------------------------------------------------
 # EMA / percentile observers (plain scales, no PoT — ema.py:38-58,
 # percentile.py:51-71).  Single calibration batch ⇒ the EMA reduces to the

@@ -59,10 +59,7 @@ class QuantizedViT:
         arrays (multi-batch observe-then-finalize, the reference's intended
         --calib-iter protocol; ViT/DeiT only)."""
         if isinstance(batch, (list, tuple)):
-            if self.is_swin:
-                raise NotImplementedError(
-                    "multi-batch calibration is ViT/DeiT only")
-            qp, dist = vit_mod.calibrate_batches(
+            qp, dist = self._mod.calibrate_batches(
                 self.params, self.spec, self.cfg,
                 [jnp.asarray(b) for b in batch])
             if self.mesh is not None:
@@ -128,6 +125,8 @@ class QuantizedViT:
         if key not in self._jit_cache:
             ip = vit_int.prepare_int(self.params, self.qparams, self.spec,
                                      self.cfg, bit_config)
+            if self.mesh is not None:
+                ip = mesh_mod.shard_int_params(self.mesh, ip)
             self._jit_cache[key] = jax.jit(
                 lambda x: vit_int.forward_q_int(ip, self.spec, self.cfg, x))
         return self._jit_cache[key]

@@ -31,7 +31,8 @@ import numpy as np
 from ..config import QuantConfig
 from ..ops.int_layernorm import float_layernorm, int_layernorm
 from ..ops.lis import log_int_softmax
-from .vit import _calib_act_site, _calib_weight_site, _fq, _q_weight
+from .vit import (_calib_act_site, _calib_weight_site, _fq,
+                  _observe_act_site, _q_weight)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -364,23 +365,40 @@ def _merge_patches(x, res):
 # Calibration (single batch, float pass computing every site's qparams)
 # ---------------------------------------------------------------------------
 
-def calibrate(params, spec: SwinSpec, cfg: QuantConfig, x):
+def calibrate(params, spec: SwinSpec, cfg: QuantConfig, x, stats=None,
+              _observe=None):
+    """Single-batch calibration (reference protocol), or — with ``stats`` —
+    finalize on this batch merged with running stats from prior observe
+    passes; with ``_observe`` (a states dict) run an observe-only pass
+    updating it (see calibrate_batches).  Observe-only batches run float
+    softmax: the LIS scale does not exist yet, matching the reference's
+    --calib-iter behavior (test_quant.py:245-246 loop semantics)."""
     qp: dict = {}
     dist: list = []
     eps = spec.ln_eps
     ob_ln = cfg.observer_a_ln
 
+    def act(path, t, observer=None):
+        if _observe is not None:
+            return _observe_act_site(_observe, path, t, cfg, observer=observer)
+        return _calib_act_site(qp, path, t, cfg, observer=observer,
+                               stats=stats)
+
+    def weight(path, w, xin, record_distance=True):
+        if _observe is None:
+            _calib_weight_site(qp, dist, path, w, xin, cfg,
+                               record_distance=record_distance)
+
     if spec.input_quant:
-        _calib_act_site(qp, "qact_input", x, cfg)
+        act("qact_input", x)
     pe = params["patch_embed"]
     patches = swin_patchify(x, spec)
-    _calib_weight_site(qp, dist, "patch.w", pe["proj"]["w"], patches, cfg,
-                       record_distance=False)
+    weight("patch.w", pe["proj"]["w"], patches, record_distance=False)
     h = patches @ pe["proj"]["w"].T + pe["proj"]["b"]
     if pe["norm"] is not None:
-        _calib_act_site(qp, "patch.qact_bn", h, cfg)
+        act("patch.qact_bn", h)
         h = float_layernorm(h, pe["norm"]["w"], pe["norm"]["b"], eps)
-    _calib_act_site(qp, "patch.qact", h, cfg)
+    act("patch.qact", h)
 
     for s, stage in enumerate(params["layers"]):
         for bi, blk in enumerate(stage["blocks"]):
@@ -389,24 +407,23 @@ def calibrate(params, spec: SwinSpec, cfg: QuantConfig, x):
             res, ws, shift, mask = geom
             shortcut = h
             y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
-            y = _calib_act_site(qp, f"{p}.qact1", y, cfg)
+            y = act(f"{p}.qact1", y)
             yw = _windows(y, res, ws, shift)
 
             def qkv_fn(t):
-                _calib_weight_site(qp, dist, f"{p}.attn.qkv.w",
-                                   blk["qkv"]["w"], t, cfg)
+                weight(f"{p}.attn.qkv.w", blk["qkv"]["w"], t)
                 out = t @ blk["qkv"]["w"].T + blk["qkv"]["b"]
-                return _calib_act_site(qp, f"{p}.attn.qact1", out, cfg)
+                return act(f"{p}.attn.qact1", out)
 
             def proj_fn(t):
-                _calib_weight_site(qp, dist, f"{p}.attn.proj.w",
-                                   blk["proj"]["w"], t, cfg)
+                weight(f"{p}.attn.proj.w", blk["proj"]["w"], t)
                 return t @ blk["proj"]["w"].T + blk["proj"]["b"]
 
             def softmax_fn(a):
                 # LIS runs on qact2's scale (swin_quant.py:211-213), which
-                # was just calibrated in the qact2 fence below
-                if cfg.lis:
+                # was just calibrated in the qact2 fence below.  Observe-only
+                # passes run float softmax (no scale yet).
+                if cfg.lis and _observe is None:
                     return log_int_softmax(a, qp[f"{p}.attn.qact2.scale"],
                                            cfg.bit_s)
                 return jax.nn.softmax(a, axis=-1)
@@ -414,54 +431,61 @@ def calibrate(params, spec: SwinSpec, cfg: QuantConfig, x):
             aw = _attn_core(
                 yw, blk, spec, s, geom, softmax_fn,
                 {"qkv": qkv_fn,
-                 "qact_attn1": lambda t: _calib_act_site(
-                     qp, f"{p}.attn.qact_attn1", t, cfg),
-                 "qact_table": lambda t: _calib_act_site(
-                     qp, f"{p}.attn.qact_table", t, cfg),
-                 "qact2": lambda t: _calib_act_site(
-                     qp, f"{p}.attn.qact2", t, cfg),
-                 "qact3": lambda t: _calib_act_site(
-                     qp, f"{p}.attn.qact3", t, cfg),
+                 "qact_attn1": lambda t: act(f"{p}.attn.qact_attn1", t),
+                 "qact_table": lambda t: act(f"{p}.attn.qact_table", t),
+                 "qact2": lambda t: act(f"{p}.attn.qact2", t),
+                 "qact3": lambda t: act(f"{p}.attn.qact3", t),
                  "proj": proj_fn,
-                 "qact4": lambda t: _calib_act_site(
-                     qp, f"{p}.attn.qact4", t, cfg)})
+                 "qact4": lambda t: act(f"{p}.attn.qact4", t)})
             h = shortcut + _unwindows(aw, res, ws, shift, h.shape[0])
-            h = _calib_act_site(qp, f"{p}.qact2", h, cfg, observer=ob_ln)
+            h = act(f"{p}.qact2", h, observer=ob_ln)
 
             y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
-            y = _calib_act_site(qp, f"{p}.qact3", y, cfg)
-            _calib_weight_site(qp, dist, f"{p}.mlp.fc1.w", blk["fc1"]["w"],
-                               y, cfg)
+            y = act(f"{p}.qact3", y)
+            weight(f"{p}.mlp.fc1.w", blk["fc1"]["w"], y)
             y = y @ blk["fc1"]["w"].T + blk["fc1"]["b"]
             y = jax.nn.gelu(y, approximate=False)
-            y = _calib_act_site(qp, f"{p}.mlp.qact1", y, cfg)
-            _calib_weight_site(qp, dist, f"{p}.mlp.fc2.w", blk["fc2"]["w"],
-                               y, cfg)
+            y = act(f"{p}.mlp.qact1", y)
+            weight(f"{p}.mlp.fc2.w", blk["fc2"]["w"], y)
             y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
             # Mlp.qact2 is a PTF site (layers_quant.py:186-191)
-            y = _calib_act_site(qp, f"{p}.mlp.qact2", y, cfg, observer=ob_ln)
+            y = act(f"{p}.mlp.qact2", y, observer=ob_ln)
             h = h + y
-            h = _calib_act_site(qp, f"{p}.qact4", h, cfg, observer=ob_ln)
+            h = act(f"{p}.qact4", h, observer=ob_ln)
 
         if stage["downsample"] is not None:
             ds = stage["downsample"]
             p = f"layers.{s}.downsample"
             h = _merge_patches(h, spec.stage_resolution(s))
             h = float_layernorm(h, ds["norm"]["w"], ds["norm"]["b"], eps)
-            h = _calib_act_site(qp, f"{p}.qact1", h, cfg)
-            _calib_weight_site(qp, dist, f"{p}.reduction.w",
-                               ds["reduction"]["w"], h, cfg)
+            h = act(f"{p}.qact1", h)
+            weight(f"{p}.reduction.w", ds["reduction"]["w"], h)
             h = h @ ds["reduction"]["w"].T
-            h = _calib_act_site(qp, f"{p}.qact2", h, cfg, observer=ob_ln)
+            h = act(f"{p}.qact2", h, observer=ob_ln)
 
     h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"], eps)
-    h = _calib_act_site(qp, "qact2", h, cfg)
+    h = act("qact2", h)
     h = jnp.mean(h, axis=1)
-    h = _calib_act_site(qp, "qact3", h, cfg)
-    _calib_weight_site(qp, dist, "head.w", params["head"]["w"], h, cfg)
+    h = act("qact3", h)
+    weight("head.w", params["head"]["w"], h)
     logits = h @ params["head"]["w"].T + params["head"]["b"]
-    _calib_act_site(qp, "act_out", logits, cfg)
+    act("act_out", logits)
     return qp, jnp.asarray(dist)
+
+
+def calibrate_batches(params, spec: SwinSpec, cfg: QuantConfig, batches):
+    """Multi-batch calibration: observe running stats on batches[:-1], then
+    finalize all scales on the last batch merged with the accumulated stats
+    — the reference's intended --calib-iter protocol (mirrors
+    vit.calibrate_batches)."""
+    batches = list(batches)
+    if len(batches) == 1:
+        return calibrate(params, spec, cfg, batches[0])
+    states: dict = {}
+    for x in batches[:-1]:
+        calibrate(params, spec, cfg, jnp.asarray(x), _observe=states)
+    return calibrate(params, spec, cfg, jnp.asarray(batches[-1]),
+                     stats=states)
 
 
 # ---------------------------------------------------------------------------

@@ -61,7 +61,14 @@ def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
     return ip
 
 
-def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x):
+def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
+                  use_pallas: bool | None = None, pallas_interpret=False):
+    """use_pallas: run window attention through the fused Pallas kernel
+    (scores + bias + mask + LIS + attn@v in one kernel; numerically
+    identical path up to f32 associativity).  Auto (None) enables it on
+    TPU backends, disables on CPU."""
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
     qp = ip["qp"]
     bt_a = cfg.bit_a
     eps = spec.ln_eps
@@ -72,9 +79,25 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x):
     def fq(path, t):
         return fake_quant(t, s(path), qp[f"{path}.zp"], bt_a)
 
+    wbound = 2.0 ** (ip["bit"] - 1)
+
     def int_linear(site, x_i8, in_scale):
-        y = _int_dot(x_i8, site["w_int"]).astype(jnp.float32) \
-            * (in_scale * site["sw"])
+        # XLA lowers int8 dot_generals poorly on this backend (~10 TOP/s vs
+        # 228 in Mosaic / ~114 for bf16 — docs/PERF_ANALYSIS.md).  int8
+        # codes are exact in bf16 and the int32 accumulation is exactly
+        # reproduced by f32 accumulation while every partial sum stays
+        # below 2^24, i.e. when K * 128 * 2^(bit-1) < 2^24 — true for all
+        # Swin shapes at int4 and all but stage-4 fc2 at int8.
+        k = site["w_int"].shape[0]
+        if k * 128.0 * wbound < 2.0**24:
+            acc = jax.lax.dot_general(
+                x_i8.astype(jnp.bfloat16),
+                site["w_int"].astype(jnp.bfloat16),
+                (((x_i8.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        else:
+            acc = _int_dot(x_i8, site["w_int"]).astype(jnp.float32)
+        y = acc * (in_scale * site["sw"])
         if site["b"] is not None:
             y = y + site["b"]
         return y
@@ -124,39 +147,72 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x):
             s1 = s(f"{p}.attn.qact1")
             qkv_i8 = _requant_i8(qkv, s1)
             hd = c // nh
-            qkv_h = qkv_i8.reshape(b_, n, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-            q8, k8, v8 = qkv_h[0], qkv_h[1], qkv_h[2]
-            a32 = jax.lax.dot_general(
-                q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
-                preferred_element_type=I32)
-            attn = a32.astype(jnp.float32) * (s1 * s1 * hd**-0.5)
-            attn = fq(f"{p}.attn.qact_attn1", attn)
 
             table_q = fq(f"{p}.attn.qact_table", ib["rel_bias_table"])
             idx = relative_position_index(ws).reshape(-1)
             bias = table_q[idx].reshape(n, n, nh).transpose(2, 0, 1)
-            attn = attn + bias[None]
-            attn = fq(f"{p}.attn.qact2", attn)
-            if mask is not None:
-                nw = mask.shape[0]
-                attn = attn.reshape(b_ // nw, nw, nh, n, n) + \
-                    jnp.asarray(mask)[None, :, None]
-                attn = attn.reshape(-1, nh, n, n)
-            if cfg.lis:
-                # LIS codes (2^-q) are exact in bf16 -> bf16 MXU matmul
-                attn = log_int_softmax(attn, s(f"{p}.attn.qact2"),
-                                       cfg.bit_s).astype(jnp.bfloat16)
-                v_op = v8.astype(jnp.bfloat16)
+
+            if use_pallas:
+                from ..ops.pallas.attention import fused_swin_attention
+
+                npad = (n + 7) // 8 * 8
+                s_a2 = s(f"{p}.attn.qact2")
+                qkv_p = jnp.pad(qkv_i8, ((0, 0), (0, npad - n), (0, 0)))
+                qkv_p = qkv_p.reshape(b_, npad, 3, nh, hd) \
+                    .transpose(0, 2, 3, 1, 4)
+                bias_p = jnp.pad(bias, ((0, 0), (0, npad - n), (0, npad - n)))
+                mask_div = None
+                nw = 1
+                if mask is not None:
+                    nw = mask.shape[0]
+                    m = jnp.asarray(mask)
+                    mask_div = jnp.pad(
+                        m, ((0, 0), (0, npad - n), (0, npad - n))) / s_a2
+                scalars = jnp.stack([
+                    s1 * s1 * hd**-0.5 / s(f"{p}.attn.qact_attn1"),
+                    s(f"{p}.attn.qact_attn1"), 1.0 / s_a2, s_a2,
+                    s1 / s(f"{p}.attn.qact3"),
+                ]).astype(jnp.float32)
+                o_codes = fused_swin_attention(
+                    qkv_p, bias_p, mask_div, scalars, num_heads=nh,
+                    n_real=n, n_windows=nw, bits=cfg.bit_s.bits,
+                    lis=cfg.lis, interpret=pallas_interpret)
+                o_i8 = o_codes.transpose(0, 2, 1, 3)[:, :n] \
+                    .reshape(b_, n, c)
             else:
-                # float softmax probs are not bf16-exact; stay in f32
-                attn = jax.nn.softmax(attn, axis=-1)
-                v_op = v8.astype(jnp.float32)
-            o = jax.lax.dot_general(
-                attn, v_op, (((3,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32)
-            o = o.transpose(0, 2, 1, 3).reshape(b_, n, c) * s1
-            o = fq(f"{p}.attn.qact3", o)
-            o_i8 = _requant_i8(o, s(f"{p}.attn.qact3"))
+                qkv_h = qkv_i8.reshape(b_, n, 3, nh, hd) \
+                    .transpose(2, 0, 3, 1, 4)
+                q8, k8, v8 = qkv_h[0], qkv_h[1], qkv_h[2]
+                # int8 x int8 scores exact in bf16/f32 (hd*128*128 < 2^24);
+                # avoids XLA's slow int8 dot lowering
+                a32 = jax.lax.dot_general(
+                    q8.astype(jnp.bfloat16), k8.astype(jnp.bfloat16),
+                    (((3,), (3,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32)
+                attn = a32 * (s1 * s1 * hd**-0.5)
+                attn = fq(f"{p}.attn.qact_attn1", attn)
+                attn = attn + bias[None]
+                attn = fq(f"{p}.attn.qact2", attn)
+                if mask is not None:
+                    nw = mask.shape[0]
+                    attn = attn.reshape(b_ // nw, nw, nh, n, n) + \
+                        jnp.asarray(mask)[None, :, None]
+                    attn = attn.reshape(-1, nh, n, n)
+                if cfg.lis:
+                    # LIS codes (2^-q) are exact in bf16 -> bf16 MXU matmul
+                    attn = log_int_softmax(attn, s(f"{p}.attn.qact2"),
+                                           cfg.bit_s).astype(jnp.bfloat16)
+                    v_op = v8.astype(jnp.bfloat16)
+                else:
+                    # float softmax probs are not bf16-exact; stay in f32
+                    attn = jax.nn.softmax(attn, axis=-1)
+                    v_op = v8.astype(jnp.float32)
+                o = jax.lax.dot_general(
+                    attn, v_op, (((3,), (2,)), ((0, 1), (0, 1))),
+                    preferred_element_type=jnp.float32)
+                o = o.transpose(0, 2, 1, 3).reshape(b_, n, c) * s1
+                o = fq(f"{p}.attn.qact3", o)
+                o_i8 = _requant_i8(o, s(f"{p}.attn.qact3"))
             y = int_linear(ib["proj"], o_i8, s(f"{p}.attn.qact3"))
             y = fq(f"{p}.attn.qact4", y)
 

@@ -52,6 +52,7 @@ from ..ops.int_layernorm import float_layernorm, int_layernorm
 from ..ops.lis import log_int_softmax
 from ..ops.quant import fake_quant, round_ln
 from ..calib.observers import (act_qparams, act_stats_update,
+                               minmax_act_qparams_asymmetric,
                                minmax_weight_qparams)
 
 
@@ -71,6 +72,10 @@ class ViTSpec:
     num_classes: int = 1000
     input_quant: bool = True
     ln_eps: float = 1e-6
+    # stochastic-depth rate; 0.0 in every reference factory
+    # (vit_fquant.py model builders pass no drop_path_rate), and eval-time
+    # DropPath is the identity either way (layers_quant.py:110-128)
+    drop_path_rate: float = 0.0
 
     @property
     def num_patches(self) -> int:
@@ -188,11 +193,32 @@ def _sdpa(qkv, spec: ViTSpec, softmax_fn):
     return out, attn
 
 
-def forward_fp(params, spec: ViTSpec, x, taps=None):
+def drop_path(x, drop_prob: float, *, training: bool = False, rng=None):
+    """Stochastic depth per sample (layers_quant.py:110-128): identity when
+    ``drop_prob == 0`` or not training; otherwise keep each sample with
+    probability 1-p, rescaling by 1/(1-p).  Binarization matches the
+    reference's ``floor(keep_prob + U[0,1))``.  Every reference model
+    factory uses drop_path_rate=0 and the quantized paths run eval-only, so
+    the stochastic branch exists for surface parity and training use."""
+    if drop_prob == 0.0 or not training:
+        return x
+    if rng is None:
+        raise ValueError("drop_path with training=True needs an rng key")
+    keep_prob = 1.0 - drop_prob
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jnp.floor(keep_prob + jax.random.uniform(rng, shape, x.dtype))
+    return x / keep_prob * mask
+
+
+def forward_fp(params, spec: ViTSpec, x, taps=None, *, training=False,
+               rng=None):
     """Pure float forward.  ``taps``: optional list collecting
     (name, activation) pairs at the sites the reference hooks for CKA
     (QConv2d/QLinear outputs + Attention.qkv_output / Mlp.fc1_output,
-    cka_utility.py:26-110)."""
+    cka_utility.py:26-110).  ``training``/``rng`` enable the stochastic
+    DropPath branch on the residual adds (Block.forward,
+    vit_fquant.py:417-470 applies drop_path to both attn and mlp outputs);
+    per-block rates follow timm's linspace(0, drop_path_rate, depth)."""
 
     def tap(name, t):
         if taps is not None:
@@ -205,6 +231,10 @@ def forward_fp(params, spec: ViTSpec, x, taps=None):
     h = jnp.concatenate([cls, h], axis=1)
     h = h + params["pos_embed"]
 
+    dpr = [spec.drop_path_rate * i / max(spec.depth - 1, 1)
+           for i in range(spec.depth)]
+    keys = jax.random.split(rng, 2 * spec.depth) if training and rng is not None \
+        else [None] * (2 * spec.depth)
     for i, blk in enumerate(params["blocks"]):
         y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
         qkv = y @ blk["qkv"]["w"].T + blk["qkv"]["b"]
@@ -214,7 +244,7 @@ def forward_fp(params, spec: ViTSpec, x, taps=None):
         tap(f"blocks.{i}.attn.probs", probs)  # PSAQ-ViT attention-map hook
         y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
         tap(f"blocks.{i}.attn.proj", y)
-        h = h + y
+        h = h + drop_path(y, dpr[i], training=training, rng=keys[2 * i])
 
         y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
         y1 = y @ blk["fc1"]["w"].T + blk["fc1"]["b"]
@@ -223,7 +253,7 @@ def forward_fp(params, spec: ViTSpec, x, taps=None):
         y = jax.nn.gelu(y1, approximate=False)
         y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
         tap(f"blocks.{i}.mlp.fc2", y)
-        h = h + y
+        h = h + drop_path(y, dpr[i], training=training, rng=keys[2 * i + 1])
 
     h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
     logits = h @ params["head"]["w"].T + params["head"]["b"]
@@ -270,10 +300,25 @@ def _calib_weight_site(qp, dist, path, w2d, x_in, cfg: QuantConfig,
 
 
 def _calib_act_site(qp, path, x, cfg: QuantConfig, observer=None,
-                    bit_type=None, stats=None):
+                    bit_type=None, stats=None, asymmetric=False):
     """Observe + finalize an activation site; returns x unchanged (QAct is a
     passthrough during calibration, layers.py:207-218).  ``stats``: running
-    observation state dict from prior calibration batches (keyed by path)."""
+    observation state dict from prior calibration batches (keyed by path).
+    ``asymmetric``: the QAct(asymmetric=True) path (layers.py:209-212) —
+    retags the site to uint8 with a non-zero zero point; a site calibrated
+    this way must be consumed with uint8 bounds.  Every active reference
+    call site passes asymmetric=False."""
+    if asymmetric:
+        from ..ops.bit_types import BIT_TYPE_DICT
+
+        prior = None
+        if stats is not None and path in stats:
+            prior = act_stats_update("minmax", stats[path], x)
+        scale, zp = minmax_act_qparams_asymmetric(
+            x, BIT_TYPE_DICT["uint8"], stats=prior)
+        qp[f"{path}.scale"] = scale
+        qp[f"{path}.zp"] = zp
+        return x
     observer = observer or cfg.observer_a
     bit_type = bit_type or cfg.bit_a
     prior = None

@@ -730,6 +730,101 @@ def fused_qkv_attention(x_i8, wq, wk, wv, mult, bias, scalars, *, n_real,
     )(x_i8, wq, wk, wv, mult, bias, scalars)
 
 
+def _swin_attn_kernel(qkv_ref, bias_ref, mask_ref, scal_ref, out_ref, *,
+                      n_real, bits, lis, group, has_mask):
+    # Swin window attention core (swin_int.forward_q_int semantics):
+    #   scores = q@k^T * (s1^2 * hd^-0.5)      -> qact_attn1 fake-quant
+    #   + relative-position bias (fake-quanted) -> qact2 fake-quant
+    #   + shift mask                            -> LIS on the qact2 grid
+    #   attn @ v                                -> int8 codes on qact3 grid
+    # qkv_ref:  (G, 3, 1, npad, D) int8 on the attn.qact1 grid
+    # bias_ref: (1, npad, npad) f32 — this head's fake-quanted bias
+    # mask_ref: (G, npad, npad) f32 — shift mask pre-divided by s_a2
+    # scal_ref: SMEM (5,) f32 = [c1 (s1^2*hd^-0.5/s_a1), s_a1, 1/s_a2,
+    #           s_a2, c2 (s1/s_a3)]
+    # out_ref:  (G, 1, npad, D) int8 on the qact3 grid
+    c1 = scal_ref[0]
+    s_a1 = scal_ref[1]
+    inv_s2 = scal_ref[2]
+    s_a2 = scal_ref[3]
+    c2 = scal_ref[4]
+
+    npad = qkv_ref.shape[3]
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+    bias = bias_ref[0]
+
+    for g in range(group):
+        q = qkv_ref[g, 0, 0, :, :].astype(jnp.bfloat16)
+        k = qkv_ref[g, 1, 0, :, :].astype(jnp.bfloat16)
+        v = qkv_ref[g, 2, 0, :, :].astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        a1c = jnp.clip(jnp.round(s * c1), -128.0, 127.0)   # qact_attn1
+        af = a1c * s_a1 + bias
+        a2c = jnp.clip(jnp.round(af * inv_s2), -128.0, 127.0)  # qact2
+        am = a2c + mask_ref[g] if has_mask else a2c
+        if lis:
+            attn = _lis_body(am, s_a2, bits, col_ok)
+        else:
+            logits = jnp.where(col_ok, am * s_a2, -jnp.inf)
+            attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+        o = jax.lax.dot_general(
+            attn, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o = jnp.clip(jnp.round(o * c2), -128.0, 127.0)
+        out_ref[g, 0, :, :] = o.astype(jnp.int8)
+
+
+def fused_swin_attention(qkv_i8, bias_q, mask_div, scalars, *, num_heads,
+                         n_real, n_windows, bits=4, lis=True,
+                         interpret=False):
+    """Fused Swin window attention (see _swin_attn_kernel).
+
+    qkv_i8: (Bw, 3, H, npad, D) int8 on the attn.qact1 grid (padded window
+    rows zeroed by the caller's pad).  bias_q: (H, npad, npad) f32
+    fake-quanted relative-position bias.  mask_div: (nW, npad, npad) f32
+    shift mask divided by s_a2, or None.  n_windows: nW (window count per
+    image; window index w uses mask w % nW).
+    Returns (Bw, H, npad, D) int8 codes on the qact3 grid."""
+    bw, three, h, npad, d = qkv_i8.shape
+    assert three == 3 and h == num_heads
+    has_mask = mask_div is not None
+    group = min(16, n_windows) if has_mask else 16
+    while bw % group:
+        group //= 2
+    if has_mask and n_windows < group:
+        reps = group // n_windows
+        mask_div = jnp.tile(mask_div, (reps, 1, 1))
+    if not has_mask:
+        mask_div = jnp.zeros((group, npad, npad), jnp.float32)
+    mdiv = max(mask_div.shape[0] // group, 1)
+
+    kernel = functools.partial(_swin_attn_kernel, n_real=n_real, bits=bits,
+                               lis=lis, group=group, has_mask=has_mask)
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // group, h),
+        in_specs=[
+            pl.BlockSpec((group, 3, 1, npad, d),
+                         lambda i, j: (i, 0, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, npad), lambda i, j: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((group, npad, npad),
+                         lambda i, j: (jax.lax.rem(i, mdiv), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((group, 1, npad, d),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, h, npad, d), jnp.int8),
+        interpret=interpret,
+    )(qkv_i8, bias_q, mask_div, scalars)
+
+
 def fused_int_attention(qkv_i8, scalars, *, num_heads, n_real, bits=4,
                         lis=True, group=8, interpret=False):
     """qkv_i8: (B, 3, H, N_pad, D) int8 on the qact1 grid.

@@ -97,3 +97,40 @@ def shard_params(mesh: Mesh, params):
 
 def shard_replicated(mesh: Mesh, tree):
     return jax.device_put(tree, replicated(mesh, tree))
+
+
+def int_param_shardings(mesh: Mesh, ip):
+    """Sharding pytree for a prepare_int() integer-model pytree.  The baked
+    weights live transposed as (Cin, Cout): qkv/fc1 shard Cout (megatron
+    row-parallel in torch terms), proj/fc2 shard Cin (column-parallel), so
+    GSPMD inserts the same ICI collectives as the fake-quant path.
+    Per-head kernel layouts (wq_h/wk_h/wv_h, (H, Cin, D)) shard the head
+    axis.  Non-array leaves (bit_config, fp flags) pass through."""
+    tp = mesh.shape["tp"]
+
+    def spec(path, arr):
+        if not hasattr(arr, "shape") or not hasattr(arr, "dtype"):
+            return NamedSharding(mesh, P())  # placeholder; not applied
+        ps = _path_str(path)
+        p = P()
+        if ps.endswith("qkv.w_int") or ps.endswith("fc1.w_int"):
+            p = P(None, "tp")
+        elif ps.endswith("proj.w_int") or ps.endswith("fc2.w_int"):
+            p = P("tp", None)
+        elif ps.endswith("_h") and getattr(arr, "ndim", 0) == 3 \
+                and "qkv" in ps:
+            p = P("tp", None, None)
+        for axis, name in enumerate(p):
+            if name == "tp" and arr.shape[axis] % tp != 0:
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, p)
+
+    return jax.tree_util.tree_map_with_path(spec, ip)
+
+
+def shard_int_params(mesh: Mesh, ip):
+    shardings = int_param_shardings(mesh, ip)
+    return jax.tree.map(
+        lambda a, s: jax.device_put(a, s)
+        if hasattr(a, "shape") and hasattr(a, "dtype") else a,
+        ip, shardings)

@@ -53,3 +53,25 @@ def test_engine_sharded_eval_matches_single(eight_devices):
     sharded.calibrate(calib)
     got = np.asarray(sharded(x))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_int_path_sharded_matches_single(eight_devices):
+    """use_int under a (dp,tp) mesh equals the single-device int path."""
+    from diffvit_tpu import engine
+
+    mesh8 = mesh_mod.make_mesh(8, tp=2)
+    spec = vit.ViTSpec("pint", embed_dim=64, depth=2, num_heads=2,
+                       num_classes=12)
+    cfg = QuantConfig()
+    params = vit.init_params(spec, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((8, 3, 224, 224)) \
+        .astype("float32")
+
+    single = engine.QuantizedViT(spec, cfg, params=params)
+    single.calibrate(x[:2])
+    ref = np.asarray(single(x, use_int=True))
+
+    sharded = engine.QuantizedViT(spec, cfg, params=params, mesh=mesh8)
+    sharded.qparams = single.qparams
+    got = np.asarray(sharded(x, use_int=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)

@@ -120,3 +120,78 @@ def test_swin_int_path_no_ptf(setup):
     ip = swin_int.prepare_int(params, qp, TINY, cfg, bit=8)
     got = np.asarray(swin_int.forward_q_int(ip, TINY, cfg, x))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_swin_fused_attention_kernel_matches_xla(setup):
+    """Pallas fused window-attention kernel (interpret mode) vs the XLA int
+    path, including a shifted block (mask) and both softmax modes."""
+    from diffvit_tpu.models import swin_int
+
+    spec = swin.SwinSpec("swin_test2", embed_dim=32, depths=(2, 1),
+                         num_heads=(2, 4), img_size=56, num_classes=10)
+    params = swin.init_swin_params(spec, jax.random.PRNGKey(3))
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 3, 56, 56))
+    for cfg in (QuantConfig(), QuantConfig(lis=False)):
+        qp, _ = swin.calibrate(params, spec, cfg, x)
+        ip = swin_int.prepare_int(params, qp, spec, cfg, bit=4)
+        ref = np.asarray(swin_int.forward_q_int(ip, spec, cfg, x,
+                                                use_pallas=False))
+        got = np.asarray(swin_int.forward_q_int(ip, spec, cfg, x,
+                                                use_pallas=True,
+                                                pallas_interpret=True))
+        if cfg.lis:
+            # LIS codes are exact PoT values -> bit-identical paths
+            np.testing.assert_array_equal(got, ref)
+        else:
+            # float softmax rounds differently between matmul orders (bf16
+            # probs); allow one-code slack compounding through the blocks
+            np.testing.assert_allclose(got, ref, atol=0.08)
+            np.testing.assert_array_equal(got.argmax(1), ref.argmax(1))
+
+
+def test_swin_multibatch_calibration(setup):
+    """Observe-then-finalize over several batches: runs, and the finalized
+    scales reflect the union of the observed ranges."""
+    params, x = setup
+    cfg = QuantConfig()
+    b1 = x
+    b2 = x * 2.5  # wider range must widen minmax-derived scales
+    qp_multi, dist = swin.calibrate_batches(params, TINY, cfg, [b1, b2])
+    qp_single, _ = swin.calibrate(params, TINY, cfg, b2)
+    assert set(qp_multi) == set(qp_single)
+    # a site whose stats come from minmax: multi >= single-batch-b1 scale
+    qp_b1, _ = swin.calibrate(params, TINY, cfg, b1)
+    assert float(qp_multi["patch.qact.scale"]) >= \
+        float(qp_b1["patch.qact.scale"])
+
+
+def test_swin_engine_multibatch():
+    from diffvit_tpu import engine
+
+    cfg = QuantConfig()
+    params = swin.init_swin_params(TINY, jax.random.PRNGKey(0))
+    m = engine.QuantizedViT(TINY, cfg, params=params)
+    x = np.random.default_rng(0).standard_normal((2, 3, 56, 56)).astype("float32")
+    m.calibrate([x, x * 1.5])
+    out = m(x, quant=True)
+    assert out.shape == (2, 10)
+
+
+def test_swin_activations_taps():
+    """CKA/DDV harvesting for Swin: tap count and ordering match the
+    QConv2d/QLinear registration order."""
+    from diffvit_tpu import engine
+    from diffvit_tpu.analysis import activations
+
+    cfg = QuantConfig()
+    params = swin.init_swin_params(TINY, jax.random.PRNGKey(0))
+    m = engine.QuantizedViT(TINY, cfg, params=params)
+    x = np.random.default_rng(1).standard_normal((2, 3, 56, 56)).astype("float32")
+    acts_fp = activations.get_activations(m, x, quant=False)
+    expect = 1 + 4 * sum(TINY.depths) + (TINY.num_layers - 1) + 1
+    assert len(acts_fp) == expect
+    m.calibrate(x)
+    acts_q, infos = activations.get_activations(m, x, bit_config=4,
+                                                layer_indices=2)
+    assert infos[0]["name"] == "layers.0.blocks.0.attn.proj"
+    assert acts_q[0].shape[0] == 2
