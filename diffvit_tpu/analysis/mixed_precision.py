@@ -69,37 +69,45 @@ def omega_rank(bit_list, flops, mean_hessian, global_distance):
     return omega_list
 
 
-def evolutionary_search(omega_list, flops, evaluate, *, pop_size=25,
+def evolutionary_search(omega_list, flops, evaluate=None, *, pop_size=25,
                         evo_iter=8, mutate_size=10, mutate_prob=0.5,
                         crossover_size=10, crossover_prob=0.5, factor=1.1,
-                        rng=None, log=print):
+                        rng=None, log=print, evaluate_batch=None):
     """test_quant.py:336-407.  ``evaluate(bit_config) -> top1``; returns the
-    final population [[bit_config, top1], ...] best-first."""
+    final population [[bit_config, top1], ...] best-first.
+
+    ``evaluate_batch(list_of_configs) -> list_of_top1`` enables the
+    parallel path: every candidate of a generation is scored in ONE batched
+    (vmapped, dp-sharded) validation pass instead of sequential epochs —
+    the candidate-generation RNG stream is independent of the scores within
+    an iteration, so results are identical to the serial loop (including
+    the reference's carry-over of the last valid score to size-violating
+    children)."""
     rng = rng or _random.Random(0)
     constraint = size_constraint(flops, factor)
+    if evaluate_batch is None:
+        evaluate_batch = lambda cands: [evaluate(c) for c in cands]
 
-    parent_popu = []
-    for i in range(min(pop_size, len(omega_list))):
-        cand = omega_list[i][0]
-        parent_popu.append([cand, evaluate(cand)])
+    parents = [omega_list[i][0]
+               for i in range(min(pop_size, len(omega_list)))]
+    parent_popu = [[c, s] for c, s in zip(parents, evaluate_batch(parents))]
     parent_popu.sort(key=lambda x: x[-1], reverse=True)
 
     val_prec1 = parent_popu[0][1] if parent_popu else 0.0
     for evo in range(evo_iter):
-        children = []
-
+        # -- generate the full generation first (RNG-only, no eval deps) --
+        gen = []  # (config, valid)
         mutate_list = []
         while True:
             old = rng.choice(parent_popu)[0]
             new = [b if rng.random() < mutate_prob else rng.choice(BIT_CHOICE)
                    for b in old]
-            if model_size(flops, new) <= constraint and new not in mutate_list:
-                val_prec1 = evaluate(new)
+            valid = model_size(flops, new) <= constraint \
+                and new not in mutate_list
             mutate_list.append(new)
-            children.append([new, val_prec1])
+            gen.append((new, valid))
             if len(mutate_list) > mutate_size:
                 break
-
         crossover_list = []
         while True:
             p1 = rng.choice(parent_popu)[0]
@@ -108,12 +116,23 @@ def evolutionary_search(omega_list, flops, evaluate, *, pop_size=25,
                 continue
             new = [b1 if rng.random() < crossover_prob else b2
                    for b1, b2 in zip(p1, p2)]
-            if model_size(flops, new) <= constraint and new not in crossover_list:
-                val_prec1 = evaluate(new)
+            valid = model_size(flops, new) <= constraint \
+                and new not in crossover_list
             crossover_list.append(new)
-            children.append([new, val_prec1])
+            gen.append((new, valid))
             if len(crossover_list) > crossover_size:
                 break
+
+        # -- score every valid candidate in one batched pass --
+        valid_cands = [c for c, v in gen if v]
+        scores = iter(evaluate_batch(valid_cands))
+
+        # -- assemble children with the reference's carry-over semantics --
+        children = []
+        for cand, valid in gen:
+            if valid:
+                val_prec1 = next(scores)
+            children.append([cand, val_prec1])
 
         for child in children:
             if child[1] > parent_popu[-1][1]:

@@ -171,9 +171,69 @@ class QuantizedViT:
         fn = self._forward_fn(quant, bit_config)
         return fn(self.params, self.qparams, x)
 
+    # -- batched mixed-precision evaluation --------------------------------
+    def forward_bits(self, x, bits_batch):
+        """Evaluate MANY {4,8} bit_configs in one compiled call:
+        vit.forward_q_bits (bit-traced selects, one compilation for every
+        candidate) vmapped over the candidate axis; under a mesh the
+        candidate axis is dp-sharded — the mixed-precision search's
+        embarrassingly-parallel evals ride the mesh instead of looping
+        (SURVEY.md §2.7).  bits_batch: (ncand, 4*depth+2) ints in {4,8}.
+        Returns (ncand, B, classes) logits."""
+        if self.is_swin:
+            raise NotImplementedError("per-layer bit search is ViT/DeiT only")
+        if self.qparams is None:
+            raise RuntimeError("model not calibrated; call .calibrate() first")
+        key = ("bits_vmap",)
+        if key not in self._jit_cache:
+            def f(p, qp, xin, bits):
+                return vit_mod.forward_q_bits(p, qp, self.spec, self.cfg,
+                                              xin, bits)
+
+            self._jit_cache[key] = jax.jit(
+                jax.vmap(f, in_axes=(None, None, None, 0)))
+        bits_batch = jnp.asarray(bits_batch, jnp.int32)
+        x = jnp.asarray(x)
+        pad = 0
+        if self.mesh is not None:
+            dp = self.mesh.shape["dp"]
+            pad = (-bits_batch.shape[0]) % dp
+            if pad:
+                bits_batch = jnp.concatenate(
+                    [bits_batch, jnp.repeat(bits_batch[-1:], pad, 0)])
+            bits_batch = jax.device_put(
+                bits_batch, mesh_mod.NamedSharding(self.mesh,
+                                                   mesh_mod.P("dp")))
+            x = jax.device_put(x, mesh_mod.NamedSharding(self.mesh,
+                                                         mesh_mod.P()))
+        out = self._jit_cache[key](self.params, self.qparams, x, bits_batch)
+        return out[:out.shape[0] - pad] if pad else out
+
     @property
     def flops(self):
         return self._mod.flops_list(self.spec)
+
+
+def validate_bits(model: QuantizedViT, loader, configs, log=print):
+    """One pass over ``loader`` evaluating EVERY config in ``configs``
+    (list of {4,8} bit_config lists) simultaneously via the bit-traced
+    vmapped forward.  Returns a list of top-1 precisions, candidate order
+    preserved.  This replaces len(configs) sequential validate() epochs in
+    the mixed-precision search — the wall-clock dominator of --mixed."""
+    configs = [list(c) for c in configs]
+    if not configs:
+        return []
+    bits = np.asarray(configs, np.int32)
+    correct = np.zeros(len(configs), np.int64)
+    total = 0
+    for data, target in loader:
+        logits = np.asarray(model.forward_bits(data, bits))
+        pred = logits.argmax(-1)  # (ncand, B)
+        correct += (pred == np.asarray(target)[None, :]).sum(1)
+        total += len(target)
+    prec1 = 100.0 * correct / max(total, 1)
+    log(f"validate_bits: {len(configs)} configs x {total} images")
+    return [float(p) for p in prec1]
 
 
 def validate(model: QuantizedViT, loader, bit_config=None, quant=True,

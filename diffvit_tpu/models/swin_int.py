@@ -225,12 +225,29 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
             else:
                 yf = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
                 x_i8 = _requant_i8(fq(f"{p}.qact3", yf), s(f"{p}.qact3"))
-            y = int_linear(ib["fc1"], x_i8, s(f"{p}.qact3"))
-            y = jax.nn.gelu(y, approximate=False)
-            y = fq(f"{p}.mlp.qact1", y)
-            y_i8 = _requant_i8(y, s(f"{p}.mlp.qact1"))
-            y = int_linear(ib["fc2"], y_i8, s(f"{p}.mlp.qact1"))
-            y = fq(f"{p}.mlp.qact2", y)
+            if use_pallas:
+                from ..ops.pallas.mlp import fused_int_mlp
+
+                bq, lq, cq = x_i8.shape
+                rows = bq * lq
+                block = 512
+                rpad = (rows + block - 1) // block * block
+                x_flat = jnp.pad(x_i8.reshape(rows, cq),
+                                 ((0, rpad - rows), (0, 0)))
+                y = fused_int_mlp(
+                    x_flat, ib["fc1"]["w_int"], ib["fc2"]["w_int"],
+                    s(f"{p}.qact3") * ib["fc1"]["sw"], ib["fc1"]["b"],
+                    s(f"{p}.mlp.qact1") * ib["fc2"]["sw"], ib["fc2"]["b"],
+                    s(f"{p}.mlp.qact2"), s(f"{p}.mlp.qact1"),
+                    block_rows=block, interpret=pallas_interpret)
+                y = y[:rows].reshape(bq, lq, cq)
+            else:
+                y = int_linear(ib["fc1"], x_i8, s(f"{p}.qact3"))
+                y = jax.nn.gelu(y, approximate=False)
+                y = fq(f"{p}.mlp.qact1", y)
+                y_i8 = _requant_i8(y, s(f"{p}.mlp.qact1"))
+                y = int_linear(ib["fc2"], y_i8, s(f"{p}.mlp.qact1"))
+                y = fq(f"{p}.mlp.qact2", y)
             h = h + y
             h = fq(f"{p}.qact4", h)
             last_q = f"{p}.qact4"

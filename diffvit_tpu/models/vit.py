@@ -810,3 +810,124 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
             + params["head"]["b"]
     tap("head", logits)
     return _fq(qp, "act_out", logits, cfg.bit_a)
+
+
+def forward_q_bits(params, qp, spec: ViTSpec, cfg: QuantConfig, x, bits):
+    """Bit-TRACED quantized forward for the mixed-precision search.
+
+    ``bits``: (4*depth+2,) int32 array with entries in {4, 8}.  Every
+    per-bit branch of forward_q becomes a select between the two bit-pool
+    variants, so ONE compilation serves every candidate config — the
+    reference re-runs (and we would otherwise re-trace) the whole model per
+    candidate (test_quant.py:336-407, ~185 evals/search).  vmap over
+    ``bits`` + dp-sharding of the candidate axis fans the embarrassingly
+    parallel evaluations out over the mesh (SURVEY.md §2.7/§7).
+
+    Requires cfg.smoothquant and 4,8 in cfg.bit_pool (the search space the
+    reference driver uses); numerics match forward_q(bit_config) entry for
+    entry."""
+    assert cfg.smoothquant, "bit-traced forward mirrors the search driver"
+    i4, i8 = cfg.bit_pool.index(4), cfg.bit_pool.index(8)
+    bt4, bt8 = BIT_TYPE_DICT["int4"], BIT_TYPE_DICT["int8"]
+    bits = jnp.asarray(bits, jnp.int32)
+    eps = spec.ln_eps
+
+    def is4(slot):
+        return bits[slot] == 4
+
+    def sel(slot, a4, a8):
+        return jnp.where(is4(slot), a4, a8)
+
+    def w_sel(qpath, w, slot):
+        """_q_weight over a traced bit."""
+        s4 = qp[f"{qpath}.int4.scale"]
+        s8 = qp[f"{qpath}.int8.scale"]
+        s4 = s4[:, None] if s4.ndim == 1 and s4.shape[0] == w.shape[0] else s4
+        wq4 = fake_quant(w, s4, 0.0, bt4)
+        wq8 = fake_quant(w, s8, 0.0, bt8)
+        return sel(slot, wq4, wq8)
+
+    def smooth_sel(path, xin, w, b, slot):
+        """_q_smooth_linear over a traced bit."""
+        ch = sel(slot, qp[f"{path}.sq.channel_scale"][i4],
+                 qp[f"{path}.sq.channel_scale"][i8])
+        x_s = xin / ch
+        xq = fake_quant(
+            x_s, sel(slot, qp[f"{path}.qact0.scale"][i4],
+                     qp[f"{path}.qact0.scale"][i8]),
+            sel(slot, qp[f"{path}.qact0.zp"][i4],
+                qp[f"{path}.qact0.zp"][i8]), cfg.bit_a)
+        wq4 = fake_quant(w * ch, _col(qp[f"{path}.w.int4.scale"][i4], w), 0.0,
+                         bt4)
+        wq8 = fake_quant(w * ch, _col(qp[f"{path}.w.int8.scale"][i8], w), 0.0,
+                         bt8)
+        return xq @ sel(slot, wq4, wq8).T + b
+
+    def _col(s, w):
+        return s[:, None] if s.ndim == 1 and s.shape[0] == w.shape[0] else s
+
+    if spec.input_quant:
+        x = _fq(qp, "qact_input", x, cfg.bit_a)
+    pe = params["patch_embed"]
+    patches = patchify(x, spec)
+    h = patches @ w_sel("patch.w", pe["w"], 0).T + pe["b"]
+    h = _fq(qp, "patch.qact", h, cfg.bit_a)
+
+    cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = _fq(qp, "qact_embed", h, cfg.bit_a)
+    h = h + _fq(qp, "qact_pos", params["pos_embed"], cfg.bit_a)
+    h = _fq(qp, "qact1", h, cfg.bit_a)
+
+    for i, blk in enumerate(params["blocks"]):
+        p = f"blocks.{i}"
+        s_qkv, s_proj, s_fc1, s_fc2 = (4 * i + 1, 4 * i + 2, 4 * i + 3,
+                                       4 * i + 4)
+        in_path = "qact1" if i == 0 else f"blocks.{i-1}.qact4"
+
+        out_scale = sel(s_qkv, qp[f"{p}.attn.qkv.qact0.scale"][i4],
+                        qp[f"{p}.attn.qkv.qact0.scale"][i8])
+        out_ch = sel(s_qkv, qp[f"{p}.attn.qkv.sq.channel_scale"][i4],
+                     qp[f"{p}.attn.qkv.sq.channel_scale"][i8])
+        y = _q_norm(qp, h, blk["norm1"], in_path, out_scale, out_ch, cfg,
+                    False, eps)
+        qkv = smooth_sel(f"{p}.attn.qkv", y, blk["qkv"]["w"],
+                         blk["qkv"]["b"], s_qkv)
+        qkv = _fq(qp, f"{p}.attn.qact1", qkv, cfg.bit_a)
+
+        def softmax_fn(a):
+            a = _fq(qp, f"{p}.attn.qact_attn1", a, cfg.bit_a)
+            if cfg.lis:
+                return log_int_softmax(a, qp[f"{p}.attn.qact_attn1.scale"],
+                                       cfg.bit_s)
+            return jax.nn.softmax(a, axis=-1)
+
+        y, _ = _sdpa(qkv, spec, softmax_fn)
+        y = _fq(qp, f"{p}.attn.qact2", y, cfg.bit_a)
+        y = y @ w_sel(f"{p}.attn.proj.w", blk["proj"]["w"], s_proj).T \
+            + blk["proj"]["b"]
+        y = _fq(qp, f"{p}.attn.qact3", y, cfg.bit_a)
+        h = _fq(qp, f"{p}.qact2", h + y, cfg.bit_a)
+
+        out_scale = sel(s_fc1, qp[f"{p}.mlp.fc1.qact0.scale"][i4],
+                        qp[f"{p}.mlp.fc1.qact0.scale"][i8])
+        # norm2 consumes the ATTENTION's channel scale (vit_fquant.py:464)
+        out_ch = sel(s_qkv, qp[f"{p}.attn.qkv.sq.channel_scale"][i4],
+                     qp[f"{p}.attn.qkv.sq.channel_scale"][i8])
+        y = _q_norm(qp, h, blk["norm2"], f"{p}.qact2", out_scale, out_ch,
+                    cfg, False, eps)
+        y = smooth_sel(f"{p}.mlp.fc1", y, blk["fc1"]["w"], blk["fc1"]["b"],
+                       s_fc1)
+        y = jax.nn.gelu(y, approximate=False)
+        y = _fq(qp, f"{p}.mlp.qact1", y, cfg.bit_a)
+        y = y @ w_sel(f"{p}.mlp.fc2.w", blk["fc2"]["w"], s_fc2).T \
+            + blk["fc2"]["b"]
+        y = _fq(qp, f"{p}.mlp.qact2", y, cfg.bit_a)
+        h = _fq(qp, f"{p}.qact4", h + y, cfg.bit_a)
+
+    h = _q_norm(qp, h, params["norm"], f"blocks.{spec.depth-1}.qact4",
+                qp["qact2.scale"], None, cfg, False, eps)[:, 0]
+    h = _fq(qp, "qact2", h, cfg.bit_a)
+    logits = h @ w_sel("head.w", params["head"]["w"],
+                       num_bit_slots(spec) - 1).T + params["head"]["b"]
+    return _fq(qp, "act_out", logits, cfg.bit_a)

@@ -228,11 +228,11 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     """Integer forward pass over a prepared int-model pytree.
 
     use_pallas: run attention as the fused Pallas kernel (numerically
-    identical paths).  Auto (None) enables the fully-fused software-pipelined
-    kernel on TPU backends — measured ~6% faster than the XLA path at batch
-    192 — and disables it on CPU (interpret mode only).  Known issue: pallas
-    calls inside a lax.fori_loop body trip an axon-backend INTERNAL error;
-    per-batch host dispatch (the eval loop) is fine."""
+    identical paths).  Auto (None) enables the fully-fused kernel on TPU
+    backends and disables it on CPU (interpret mode only).  (The round-1
+    axon INTERNAL error for pallas-inside-fori_loop no longer reproduces
+    with the v2 kernel — both host-dispatched and fori_loop chaining work;
+    scripts/perf_breakdown.py measures both.)"""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     bt_a = cfg.bit_a

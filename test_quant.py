@@ -95,7 +95,7 @@ def main(argv=None):
     import jax
 
     from diffvit_tpu.config import QuantConfig
-    from diffvit_tpu.engine import QuantizedViT, validate
+    from diffvit_tpu.engine import QuantizedViT, validate, validate_bits
     from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, build_transform
     from diffvit_tpu.data.synthetic import gaussian_calibration
     from diffvit_tpu.models.registry import preprocessing_for
@@ -198,10 +198,18 @@ def main(argv=None):
         for i in range(min(args.pareto_top, len(omega_list))):
             evaluate(omega_list[i][0])
         print("Start Evolutionary.......")
+        # fake-quant search runs every candidate of a generation in ONE
+        # vmapped, dp-sharded validation pass (engine.validate_bits);
+        # --int-path search keeps the per-candidate integer executables
+        evaluate_batch = None
+        if not args.int_path and not model.is_swin:
+            evaluate_batch = lambda cands: validate_bits(
+                model, val_loader, cands)
         result = mp.evolutionary_search(
             omega_list, flops, evaluate, rng=rng, pop_size=args.evo_pop,
             evo_iter=args.evo_iter, mutate_size=args.evo_mutate,
-            crossover_size=args.evo_crossover, factor=args.size_factor)
+            crossover_size=args.evo_crossover, factor=args.size_factor,
+            evaluate_batch=evaluate_batch)
         print("best:", result[0])
     else:
         if not args.quant:
