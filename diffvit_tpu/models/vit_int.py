@@ -372,17 +372,23 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
                 o_i8 = _requant_i8(o, s2)
                 y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
                     * proj_site["mult"] + proj_site["b"]
-        y = _fq_site(ib["attn.qact3"], y, bt_a)
-        h = _fq_site(ib["qact2"], h + y, bt_a)
-
-        # ---- mlp ----
+        # ---- mlp (+ the qact3/residual/qact2/LN2 fence chain) ----
         fc1_site = ib["fc1"]
         fc2_site = ib["fc2"]
         mlp_fused = (use_pallas and cfg.int_norm and not fc1_site["fp"]
                      and not fc2_site["fp"] and b_fc2 != -1)
         if mlp_fused:
+            # (A whole-half-block variant that also folds the qact3 /
+            # residual / qact2 / integer-LN2 fences into this kernel exists
+            # — fused_int_mlp_block — but measured ~1.7 ms/step SLOWER at
+            # DeiT-S b192: the f32 y/h input blocks are 8x the int8 code
+            # DMA and XLA's fusion of the fence chains beats Mosaic's
+            # elementwise lowering of the same math.  Kept as a tested
+            # alternative; the default path keeps fences in XLA.)
             from ..ops.pallas.mlp import fused_int_mlp
 
+            y = _fq_site(ib["attn.qact3"], y, bt_a)
+            h = _fq_site(ib["qact2"], h + y, bt_a)
             x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
                             fc1_site.get("ln_out_scale",
                                          fc1_site["in_scale"]), eps,
@@ -390,7 +396,8 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
             rows = B * N
             block = 512
             rpad = _round_up(rows, block)
-            x_flat = jnp.pad(x_i8.reshape(rows, -1), ((0, rpad - rows), (0, 0)))
+            x_flat = jnp.pad(x_i8.reshape(rows, -1),
+                             ((0, rpad - rows), (0, 0)))
             y = fused_int_mlp(
                 x_flat, fc1_site["w_int"], fc2_site["w_int"],
                 fc1_site["mult"], fc1_site["b"], fc2_site["mult"],
@@ -400,6 +407,8 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
             y = y[:rows].reshape(B, N, -1)
             h = _fq_site(ib["qact4"], h + y, bt_a)
         else:
+            y = _fq_site(ib["attn.qact3"], y, bt_a)
+            h = _fq_site(ib["qact2"], h + y, bt_a)
             if fc1_site["fp"]:
                 y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
                 y = y @ fc1_site["w"].T + fc1_site["b"]

@@ -26,6 +26,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..int_layernorm import get_mn
+
 
 # Chebyshev fit of P(u) = (Phi(sqrt(u)) - 0.5)/sqrt(u) on u in [0, 4.8^2],
 # monomial form in s = 2u/4.8^2 - 1 (see scripts/fit_gelu_poly rationale in
@@ -122,6 +124,157 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
         g = gelu_requant(mid_cur)  # VPU — overlaps mid_next's MXU work
         fc2(g, i)
         mid_cur = mid_next
+
+
+def _mlp_block_kernel(y_ref, h_ref, v_ref, w1_ref, w2_ref, v1_ref, v2_ref,
+                      scal_ref, out_ref, *, sub, n_sub):
+    # Whole MLP half-block including the residual fences and the integer
+    # LayerNorm: qact3(y) -> h + . -> qact2 -> int-LN2 (int8 codes) ->
+    # fc1 -> GELU -> qact1 requant -> fc2 -> mlp.qact2 fence -> residual
+    # add -> qact4.  Keeps the (rows, C) streams out of the separate XLA
+    # fence passes (~150 MB/layer of HBM round trips at DeiT-S b192).
+    #
+    # y_ref: (M, C) f32 — attention proj output (pre-qact3)
+    # h_ref: (M, C) f32 — residual stream entering the fence
+    # v_ref: (10, C) f32 — [inv_s3, s3, inv_s2, s2, inv_s4, s4,
+    #        r (LN in-scale/in-scale1 code expansion), lnw/out_scale,
+    #        lnb/out_scale, ln rescale (ones when absent)]
+    # v1_ref/v2_ref/w1_ref/w2_ref: as _mlp_kernel
+    # scal_ref: SMEM (3,) f32 — [s2min (min LN in-scale), 1/s_q1, C]
+    # out_ref: (M, C) f32 — residual stream after the block
+    inv_s3 = v_ref[0][None, :]
+    s3 = v_ref[1][None, :]
+    inv_s2 = v_ref[2][None, :]
+    s2 = v_ref[3][None, :]
+    inv_s4 = v_ref[4][None, :]
+    s4 = v_ref[5][None, :]
+    r_exp = v_ref[6][None, :]
+    lnw_out = v_ref[7][None, :]
+    lnb_out = v_ref[8][None, :]
+    rescale = v_ref[9][None, :]
+    s2min = scal_ref[0]
+    s_q1_inv = scal_ref[1]
+    c = scal_ref[2]
+
+    mult1 = v1_ref[0][None, :]
+    bias1 = v1_ref[1][None, :]
+    mult2 = v2_ref[0][None, :]
+    bias2 = v2_ref[1][None, :]
+    out_scale = v2_ref[2][None, :]
+    inv_out_scale = v2_ref[3][None, :]
+
+    def fences_ln(i):
+        sl = pl.ds(i * sub, sub)
+        yq = jnp.clip(jnp.round(y_ref[sl, :] * inv_s3), -128.0, 127.0) * s3
+        codes2 = jnp.clip(jnp.round((h_ref[sl, :] + yq) * inv_s2),
+                          -128.0, 127.0)
+        h2 = codes2 * s2
+        # integer LayerNorm (vit_int._ln_int8 math; codes2 IS round(h2/s2))
+        x_q = codes2 * r_exp
+        sum_x = jnp.sum(x_q, axis=-1, keepdims=True)
+        sum_x2 = jnp.sum(x_q * x_q, axis=-1, keepdims=True)
+        mean = (sum_x / c) * s2min
+        std = (s2min / c) * jnp.sqrt(c * sum_x2 - sum_x * sum_x)
+        a = (s2min / std) * lnw_out
+        m, n = get_mn(jnp.abs(a))
+        b = jnp.round((lnb_out - (mean / std) * lnw_out) * (2.0**n))
+        yl = jnp.round((jnp.sign(a) * m * x_q + b) / (2.0**n))
+        yl = jnp.round(yl * rescale)
+        x_i8 = jnp.clip(yl, -128.0, 127.0).astype(jnp.int8)
+        return h2, x_i8
+
+    def fc1(x_i8):
+        acc = jax.lax.dot_general(
+            x_i8, w1_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        return acc.astype(jnp.float32) * mult1 + bias1
+
+    def gelu_requant(mid):
+        g = _gelu_poly(mid)
+        return jnp.clip(jnp.round(g * s_q1_inv), -128.0, 127.0) \
+            .astype(jnp.int8)
+
+    def fc2_fences(g_i8, h2, i):
+        acc = jax.lax.dot_general(
+            g_i8, w2_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        ym = acc.astype(jnp.float32) * mult2 + bias2
+        ym = jnp.clip(jnp.round(ym * inv_out_scale), -128.0, 127.0) \
+            * out_scale                                # mlp.qact2 (PTF)
+        hn = h2 + ym
+        hn = jnp.clip(jnp.round(hn * inv_s4), -128.0, 127.0) * s4  # qact4
+        out_ref[pl.ds(i * sub, sub), :] = hn
+
+    h2_cur, x_cur = fences_ln(0)
+    mid_cur = fc1(x_cur)
+    for i in range(n_sub):
+        if i + 1 < n_sub:
+            h2_next, x_next = fences_ln(i + 1)
+            mid_next = fc1(x_next)
+        else:
+            h2_next = mid_next = None
+        g = gelu_requant(mid_cur)
+        fc2_fences(g, h2_cur, i)
+        h2_cur, mid_cur = h2_next, mid_next
+
+
+def fused_int_mlp_block(y, h, w1, w2, mult1, bias1, mult2, bias2,
+                        mlp_out_scale, s_q1, *, ln, ln_in_scale,
+                        ln_out_scale, ln_rescale, s3, s2_vec, s4_vec,
+                        block_rows=512, sub=256, interpret=False):
+    """Whole MLP half-block with fences + integer LN fused (see
+    _mlp_block_kernel).  y/h: (R, C) f32 (R padded to block_rows).
+    ln: {"w","b"}; ln_in_scale: the qact2 PTF scale vector (LN input grid);
+    ln_out_scale: fc1 input grid (possibly the attention channel grid);
+    ln_rescale: optional channel-grid conversion (norm2 quirk) or None.
+    Returns (R, C) f32 — the residual stream after qact4."""
+    rows, cin = y.shape
+    hid = w1.shape[1]
+    cout = w2.shape[1]
+    assert rows % block_rows == 0 and block_rows % sub == 0
+
+    bc = lambda t: jnp.broadcast_to(jnp.asarray(t, jnp.float32), (cin,))
+    in_scale = bc(ln_in_scale)
+    s2min = jnp.min(in_scale)
+    out_sc = bc(ln_out_scale)
+    v = jnp.stack([
+        1.0 / bc(s3), bc(s3), 1.0 / in_scale, in_scale,
+        1.0 / bc(s4_vec), bc(s4_vec),
+        jnp.round(in_scale / s2min),
+        bc(ln["w"]) / out_sc, bc(ln["b"]) / out_sc,
+        bc(ln_rescale) if ln_rescale is not None else jnp.ones((cin,)),
+    ]).astype(jnp.float32)
+    v1 = jnp.stack([jnp.broadcast_to(mult1, (hid,)),
+                    jnp.broadcast_to(bias1, (hid,))]).astype(jnp.float32)
+    out_b = jnp.broadcast_to(mlp_out_scale, (cout,))
+    v2 = jnp.stack([jnp.broadcast_to(mult2, (cout,)),
+                    jnp.broadcast_to(bias2, (cout,)),
+                    out_b, 1.0 / out_b]).astype(jnp.float32)
+    scal = jnp.stack([s2min, 1.0 / jnp.asarray(s_q1, jnp.float32),
+                      jnp.asarray(float(cin), jnp.float32)])
+
+    kernel = functools.partial(_mlp_block_kernel, sub=sub,
+                               n_sub=block_rows // sub)
+    return pl.pallas_call(
+        kernel,
+        grid=(rows // block_rows,),
+        in_specs=[
+            pl.BlockSpec((block_rows, cin), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, cin), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w2
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v1
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # v2
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # scal
+        ],
+        out_specs=pl.BlockSpec((block_rows, cin), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, cin), jnp.float32),
+        interpret=interpret,
+    )(y, h, v, w1, w2, v1, v2, scal)
 
 
 def fused_int_mlp(x_i8, w1, w2, mult1, bias1, mult2, bias2, out_scale,

@@ -53,7 +53,7 @@ def main():
 
     from diffvit_tpu.config import QuantConfig
     from diffvit_tpu.models import vit, vit_int
-    from diffvit_tpu.ops.pallas.attention import fused_qkv_attention
+    from diffvit_tpu.ops.pallas.attention import fused_qkv_attention_v2
     from diffvit_tpu.ops.pallas.mlp import fused_int_mlp
 
     B = args.batch
@@ -96,9 +96,10 @@ def main():
         x_i8 = xf.astype(jnp.int8)
         o = None
         for _ in range(depth):
-            o = fused_qkv_attention(
-                x_i8, qs["wq_h"], qs["wk_h"], qs["wv_h"], qs["mult_h"],
-                qs["bias_h"], scalars2, n_real=N, bits=4, lis=lis)
+            o = fused_qkv_attention_v2(
+                x_i8, qs["w_int"], qs["mult"], qs["b"], scalars2,
+                num_heads=H, head_dim=D, n_real=N, bits=4, lis=lis,
+                lis_fast=True)
             x_i8 = o.transpose(0, 2, 1, 3).reshape(B, NP, C)
         return o
 

@@ -147,3 +147,55 @@ def test_fused_attention_block_kernel():
     np.testing.assert_allclose(np.asarray(got)[:, :nreal],
                                np.asarray(ref)[:, :nreal], rtol=2e-4,
                                atol=2e-4)
+
+
+def test_fused_mlp_block_kernel_matches_xla_math():
+    """fused_int_mlp_block (fences + integer LN folded in — kept as a
+    measured-slower alternative, see models/vit_int.py) vs the XLA-side
+    composition of the same ops."""
+    import jax.numpy as jnp
+
+    from diffvit_tpu.models.vit_int import _fq_site, _ln_int8, _requant_i8
+    from diffvit_tpu.ops.bit_types import BIT_TYPE_DICT
+    from diffvit_tpu.ops.pallas.mlp import fused_int_mlp_block
+
+    rng = np.random.default_rng(4)
+    rows, c, hid = 512, 64, 256
+    y = jnp.asarray(rng.standard_normal((rows, c)) * 2, jnp.float32)
+    h = jnp.asarray(rng.standard_normal((rows, c)) * 2, jnp.float32)
+    w1 = jnp.asarray(rng.integers(-8, 8, (c, hid)), jnp.int8)
+    w2 = jnp.asarray(rng.integers(-8, 8, (hid, c)), jnp.int8)
+    ln = {"w": jnp.asarray(rng.standard_normal(c) * 0.1 + 1, jnp.float32),
+          "b": jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)}
+    s3 = jnp.asarray(2.0**-5)
+    s2v = jnp.full((c,), 2.0**-5) * jnp.asarray(
+        rng.choice([1.0, 2.0, 4.0, 8.0], c), jnp.float32)
+    s4v = s2v * 2
+    out_sc = jnp.full((c,), 2.0**-6)
+    m1 = jnp.full((hid,), 2.0**-9); b1 = jnp.zeros((hid,))
+    m2 = jnp.full((c,), 2.0**-9); b2 = jnp.zeros((c,))
+    s_q2 = jnp.full((c,), 2.0**-4)
+    s_q1 = jnp.asarray(2.0**-4)
+
+    got = fused_int_mlp_block(
+        y, h, w1, w2, m1, b1, m2, b2, s_q2, s_q1, ln=ln, ln_in_scale=s2v,
+        ln_out_scale=out_sc, ln_rescale=None, s3=s3, s2_vec=s2v, s4_vec=s4v,
+        block_rows=512, interpret=True)
+
+    bt = BIT_TYPE_DICT["int8"]
+    yq = _fq_site({"scale": s3, "zp": 0.0}, y, bt)
+    h2 = _fq_site({"scale": s2v, "zp": 0.0}, h + yq, bt)
+    x_i8 = _ln_int8(h2, ln, s2v, out_sc, 1e-6)
+    mid = (x_i8.astype(jnp.int32) @ w1.astype(jnp.int32)).astype(jnp.float32) \
+        * m1 + b1
+    import jax
+    g = jax.nn.gelu(mid, approximate=False)
+    g8 = _requant_i8(g, s_q1)
+    ym = (g8.astype(jnp.int32) @ w2.astype(jnp.int32)).astype(jnp.float32) \
+        * m2 + b2
+    ym = _fq_site({"scale": s_q2, "zp": 0.0}, ym, bt)
+    want = _fq_site({"scale": s4v, "zp": 0.0}, h2 + ym, bt)
+
+    got, want = np.asarray(got), np.asarray(want)
+    assert np.mean(got == want) > 0.99, np.mean(got == want)
+    np.testing.assert_allclose(got, want, atol=float(s4v.max()) * 1.5)
