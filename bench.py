@@ -187,8 +187,8 @@ def run_matrix():
         model="deit_tiny", bits=0, path="fp32", batch=256)
     add("vit_base_int8_int_b96", bench_vit,
         model="vit_base", bits=8, path="int", batch=96)
-    add("swin_tiny_int8_int_b64", bench_swin,
-        model="swin_tiny", bits=8, batch=64)
+    add("swin_tiny_int8_int_b128", bench_swin,
+        model="swin_tiny", bits=8, batch=128)
     # mixed-precision: alternating 4/8 per block as the evolutionary
     # search would produce (one retrace/compile, then steady state)
     from diffvit_tpu.models import vit as _vit

@@ -791,7 +791,7 @@ def fused_swin_attention(qkv_i8, bias_q, mask_div, scalars, *, num_heads,
     bw, three, h, npad, d = qkv_i8.shape
     assert three == 3 and h == num_heads
     has_mask = mask_div is not None
-    group = min(16, n_windows) if has_mask else 16
+    group = 32  # measured best of 16/32/64 at swin_tiny b64
     while bw % group:
         group //= 2
     if has_mask and n_windows < group:
