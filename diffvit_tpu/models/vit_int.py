@@ -185,19 +185,42 @@ def prepare_int(params, qp, spec: ViTSpec, cfg: QuantConfig, bit_config=None):
         ip["head"] = {"w_int": _quant_w(params["head"]["w"], sw, hb).T,
                       "b": params["head"]["b"], "fp": False,
                       "mult": qscale("qact2") * sw}
+
+    # Static symmetric-activations flag for the codes-carrying residual
+    # path (forward_q_int's pallas fast path): carrying int8 CODES between
+    # the fence chains instead of f32 fake-quant values is value-identical
+    # iff every activation zero-point on the stream is 0 (always true for
+    # the reference's symmetric int8 QActs; the asymmetric-uint8 QAct is
+    # documented-unused upstream).  prepare_int is host-side so zps are
+    # concrete; under tracing the check degrades to False (slow-path).
+    zps = [v["zp"] for v in ip.values()
+           if isinstance(v, dict) and "zp" in v]
+    for ib in ip["blocks"]:
+        zps += [v["zp"] for v in ib.values()
+                if isinstance(v, dict) and "zp" in v]
+    if any(isinstance(z, jax.core.Tracer) for z in zps):
+        ip["sym_acts"] = False
+    else:
+        ip["sym_acts"] = all(bool(jnp.all(jnp.asarray(z) == 0))
+                             for z in zps)
     return ip
 
 
-def _ln_int8(x, ln, in_scale, out_scale_vec, eps, a_bits=8, rescale=None):
+def _ln_int8(x, ln, in_scale, out_scale_vec, eps, a_bits=8, rescale=None,
+             x_codes=None):
     """Integer LayerNorm emitting int8 codes on ``out_scale_vec`` grid —
     the M·2^-N math of ops/int_layernorm.int_layernorm with the final
     dequant folded away.  ``rescale``: optional per-channel grid conversion
     applied to the raw LN codes before clipping (the reference's
-    attn-vs-mlp channel-scale mismatch at norm2, vit_fquant.py:464)."""
-    c = x.shape[-1]
+    attn-vs-mlp channel-scale mismatch at norm2, vit_fquant.py:464).
+    ``x_codes``: optional precomputed input codes on the ``in_scale`` grid
+    (the codes-carrying residual path) — skips the round(x/in_scale)
+    recompute AND the f32 read of x (4x the HBM of the int8 codes)."""
+    c = ln["w"].shape[-1]
     in_scale = jnp.broadcast_to(jnp.asarray(in_scale), (c,))
     out_scale = jnp.broadcast_to(jnp.asarray(out_scale_vec), (c,))
-    x_q = jnp.round(x / in_scale)
+    x_q = x_codes.astype(jnp.float32) if x_codes is not None \
+        else jnp.round(x / in_scale)
     in_scale1 = jnp.min(in_scale)
     x_q = x_q * jnp.round(in_scale / in_scale1)
     sum_x = jnp.sum(x_q, axis=-1)
@@ -258,6 +281,16 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     h = _fq_site(ip["qact1"], h, bt_a)
 
     bc = ip["bit_config"]
+    sym_acts = ip.get("sym_acts", False)
+    sym_acts = bool(sym_acts) \
+        if not isinstance(sym_acts, jax.core.Tracer) else False
+    # hc: the residual stream as int8 CODES on the current qact grid
+    # (value = hc * grid scale).  Between two fully-fused blocks the f32
+    # stream never materializes — the fences read/write 4x less HBM, the
+    # integer LNs consume the codes directly, and the MLP kernel emits
+    # codes (emit_codes).  Value-identical to the f32 path: fake-quant
+    # output IS codes*scale (zp==0 guaranteed by sym_acts).
+    hc = None
     for i, ib in enumerate(ip["blocks"]):
         b_qkv, b_proj, b_fc1, b_fc2 = bc[4 * i + 1: 4 * i + 5]
         in_scale = ip["qact1"]["scale"] if i == 0 \
@@ -266,6 +299,8 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
         # ---- attention ----
         qkv_site = ib["qkv"]
         proj_site = ib["proj"]
+        fc1_site = ib["fc1"]
+        fc2_site = ib["fc2"]
         s1 = ib["attn.qact1"]["scale"]
         s_a = ib["attn.qact_attn1"]["scale"]
         s2 = ib["attn.qact2"]["scale"]
@@ -276,11 +311,26 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
         fused2_path = (use_pallas and not qkv_site["fp"]
                        and not proj_site["fp"] and cfg.int_norm
                        and cfg.smoothquant)
+        mlp_fused = (use_pallas and cfg.int_norm and not fc1_site["fp"]
+                     and not fc2_site["fp"] and b_fc2 != -1)
+        codes_path = fused2_path and mlp_fused and sym_acts
+        if codes_path and hc is None:
+            # enter codes mode: h is a fake-quant output on the in_scale
+            # grid, so round(h/in_scale) recovers its codes exactly
+            hc = jnp.clip(jnp.round(h / in_scale), bt_a.lower_bound,
+                          bt_a.upper_bound).astype(I8)
+        elif not codes_path and hc is not None:
+            # leave codes mode (fp site / -1 layer in this block)
+            h = hc.astype(jnp.float32) * in_scale
+            hc = None
         if qkv_site["fp"]:
             y = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
             y = y @ qkv_site["w"].T + qkv_site["b"]
         else:
-            if cfg.int_norm and b_proj != -1:
+            if codes_path:
+                x_i8 = _ln_int8(None, ib["norm1"], in_scale,
+                                qkv_site["in_scale"], eps, x_codes=hc)
+            elif cfg.int_norm and b_proj != -1:
                 x_i8 = _ln_int8(h, ib["norm1"], in_scale, qkv_site["in_scale"], eps)
             else:
                 yf = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
@@ -373,10 +423,42 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
                 y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
                     * proj_site["mult"] + proj_site["b"]
         # ---- mlp (+ the qact3/residual/qact2/LN2 fence chain) ----
-        fc1_site = ib["fc1"]
-        fc2_site = ib["fc2"]
-        mlp_fused = (use_pallas and cfg.int_norm and not fc1_site["fp"]
-                     and not fc2_site["fp"] and b_fc2 != -1)
+        if codes_path:
+            # int8-codes fences: the f32 residual stream never round-trips
+            # HBM — each fence reads/writes codes (4x less traffic), the
+            # LN consumes them directly, and the MLP kernel emits codes.
+            from ..ops.pallas.mlp import fused_int_mlp
+
+            s3 = ib["attn.qact3"]["scale"]
+            s_blk2 = ib["qact2"]["scale"]
+            yq3 = jnp.clip(jnp.round(y / s3), bt_a.lower_bound,
+                           bt_a.upper_bound)                 # attn.qact3
+            hs = hc.astype(jnp.float32) * in_scale + yq3 * s3  # residual
+            hc = jnp.clip(jnp.round(hs / s_blk2), bt_a.lower_bound,
+                          bt_a.upper_bound).astype(I8)       # qact2
+            x_i8 = _ln_int8(None, ib["norm2"], s_blk2,
+                            fc1_site.get("ln_out_scale",
+                                         fc1_site["in_scale"]), eps,
+                            rescale=fc1_site.get("ln_rescale"), x_codes=hc)
+            rows = B * N
+            block = 512
+            rpad = _round_up(rows, block)
+            x_flat = jnp.pad(x_i8.reshape(rows, -1),
+                             ((0, rpad - rows), (0, 0)))
+            y2c = fused_int_mlp(
+                x_flat, fc1_site["w_int"], fc2_site["w_int"],
+                fc1_site["mult"], fc1_site["b"], fc2_site["mult"],
+                fc2_site["b"], ib["mlp.qact2"]["scale"],
+                ib["mlp.qact1"]["scale"], block_rows=block,
+                emit_codes=True, interpret=pallas_interpret)
+            y2c = y2c[:rows].reshape(B, N, -1)
+            s_m2 = ib["mlp.qact2"]["scale"]
+            s4 = ib["qact4"]["scale"]
+            hs = hc.astype(jnp.float32) * s_blk2 \
+                + y2c.astype(jnp.float32) * s_m2             # residual
+            hc = jnp.clip(jnp.round(hs / s4), bt_a.lower_bound,
+                          bt_a.upper_bound).astype(I8)       # qact4
+            continue
         if mlp_fused:
             # (A whole-half-block variant that also folds the qact3 /
             # residual / qact2 / integer-LN2 fences into this kernel exists
@@ -439,7 +521,8 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     head = ip["head"]
     if cfg.int_norm:
         s_out = ip["qact2"]["scale"]
-        h_i8 = _ln_int8(h, ip["norm"], last_scale, s_out, eps)[:, 0]
+        h_i8 = _ln_int8(h if hc is None else None, ip["norm"], last_scale,
+                        s_out, eps, x_codes=hc)[:, 0]
         if head["fp"]:
             logits = (h_i8.astype(jnp.float32) * s_out) @ head["w"].T + head["b"]
         else:

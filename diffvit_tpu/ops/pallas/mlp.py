@@ -80,7 +80,7 @@ def _gelu_exact_approx(x):
 
 
 def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
-                sub, n_sub):
+                sub, n_sub, emit_codes=False):
     # x_ref:  (M, Cin) int8 — row block of LN output codes
     # w1_ref: (Cin, Hid) int8;  w2_ref: (Hid, Cout) int8
     # v1_ref: (2, Hid) f32 — [mult1 (in_scale*s_w1), bias1]
@@ -88,7 +88,9 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
     #         1/out_scale] (reciprocal precomputed: one VPU mul instead of a
     #         multi-pass per-channel divide in the fence)
     # scal_ref: SMEM (1,) f32 — [1/s_q1]
-    # out_ref: (M, Cout) f32 — qact2-quantized MLP output
+    # out_ref: (M, Cout) f32 — qact2-quantized MLP output; with
+    #          emit_codes=True, (M, Cout) int8 — the qact2 CODES (the caller
+    #          owns the dequant): drops one VPU pass and 4x the output DMA
     s_q1_inv = scal_ref[0]
     mult1 = v1_ref[0][None, :]
     bias1 = v1_ref[1][None, :]
@@ -115,8 +117,11 @@ def _mlp_kernel(x_ref, w1_ref, w2_ref, v1_ref, v2_ref, scal_ref, out_ref, *,
             preferred_element_type=jnp.int32)
         y = acc.astype(jnp.float32) * mult2 + bias2
         # mlp.qact2 fence (PTF per-channel)
-        y = jnp.clip(jnp.round(y * inv_out_scale), -128.0, 127.0) * out_scale
-        out_ref[pl.ds(i * sub, sub), :] = y
+        codes = jnp.clip(jnp.round(y * inv_out_scale), -128.0, 127.0)
+        if emit_codes:
+            out_ref[pl.ds(i * sub, sub), :] = codes.astype(jnp.int8)
+        else:
+            out_ref[pl.ds(i * sub, sub), :] = codes * out_scale
 
     mid_cur = fc1(0)
     for i in range(n_sub):
@@ -278,10 +283,13 @@ def fused_int_mlp_block(y, h, w1, w2, mult1, bias1, mult2, bias2,
 
 
 def fused_int_mlp(x_i8, w1, w2, mult1, bias1, mult2, bias2, out_scale,
-                  s_q1, *, block_rows=512, sub=256, interpret=False):
+                  s_q1, *, block_rows=512, sub=256, emit_codes=False,
+                  interpret=False):
     """x_i8: (R, Cin) int8 row-major tokens (R padded to block_rows).
     w1: (Cin, Hid) int8; w2: (Hid, Cout) int8.
-    Returns (R, Cout) f32, already on the mlp.qact2 grid."""
+    Returns (R, Cout) f32, already on the mlp.qact2 grid — or, with
+    emit_codes=True, the (R, Cout) int8 mlp.qact2 codes (value =
+    codes * out_scale), for callers carrying an int8 residual stream."""
     r, cin = x_i8.shape
     hid = w1.shape[1]
     cout = w2.shape[1]
@@ -295,7 +303,8 @@ def fused_int_mlp(x_i8, w1, w2, mult1, bias1, mult2, bias2, out_scale,
     scal = jnp.asarray([1.0 / s_q1], jnp.float32)
 
     kernel = functools.partial(_mlp_kernel, sub=sub,
-                               n_sub=block_rows // sub)
+                               n_sub=block_rows // sub,
+                               emit_codes=emit_codes)
     return pl.pallas_call(
         kernel,
         grid=(r // block_rows,),
@@ -310,6 +319,7 @@ def fused_int_mlp(x_i8, w1, w2, mult1, bias1, mult2, bias2, out_scale,
         ],
         out_specs=pl.BlockSpec((block_rows, cout), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((r, cout), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (r, cout), jnp.int8 if emit_codes else jnp.float32),
         interpret=interpret,
     )(x_i8, w1, w2, v1, v2, scal)
