@@ -4,7 +4,7 @@
 Default (driver) mode prints ONE JSON line
     {"metric", "value", "unit", "vs_baseline"[, "extra"]}
 for the headline config (PoT-quantized DeiT-S, int4 weights, integer path,
-batch 192).  Baseline: the BASELINE.json north-star target of 5000
+batch 256).  Baseline: the BASELINE.json north-star target of 5000
 images/sec/chip (the reference publishes no throughput numbers — its GPU
 eval wall-clock is ~150-190 s for a 5k-image sweep entry ≈ 30 img/s,
 BASELINE.md).
@@ -177,10 +177,10 @@ def run_matrix():
             rows.append({"config": name, "error": str(e)[:200]})
             print(f"  {name:42s} FAILED: {e}", flush=True)
 
-    add("deit_small_int4_int_b192", bench_vit,
-        model="deit_small", bits=4, path="int", batch=192)
-    add("deit_small_int8_int_b192", bench_vit,
-        model="deit_small", bits=8, path="int", batch=192)
+    add("deit_small_int4_int_b256", bench_vit,
+        model="deit_small", bits=4, path="int", batch=256)
+    add("deit_small_int8_int_b256", bench_vit,
+        model="deit_small", bits=8, path="int", batch=256)
     add("deit_small_int4_fake_b192", bench_vit,
         model="deit_small", bits=4, path="fake", batch=192)
     add("deit_tiny_fp32_b256", bench_vit,
@@ -194,8 +194,8 @@ def run_matrix():
     from diffvit_tpu.models import vit as _vit
     nslots = _vit.num_bit_slots(_vit.VIT_SPECS["deit_small"])
     mixed = tuple(4 if i % 2 else 8 for i in range(nslots))
-    add("deit_small_mixed48_int_b192", bench_vit,
-        model="deit_small", bits=4, path="int", batch=192, bit_config=mixed)
+    add("deit_small_mixed48_int_b256", bench_vit,
+        model="deit_small", bits=4, path="int", batch=256, bit_config=mixed)
     add("pipeline_e2e_jpeg_deit_small_int4_b64", bench_pipeline)
 
     payload = {"rows": rows, "unit": "images/sec/chip",
@@ -209,8 +209,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deit_small")
     ap.add_argument("--bits", default=4, type=int)
-    ap.add_argument("--batch", default=192, type=int,
-                    help="192 is the measured throughput sweet spot")
+    ap.add_argument("--batch", default=256, type=int,
+                    help="256 is the measured sweet spot since the int8-codes"
+                         " residual stream (192 before it)")
     ap.add_argument("--steps", default=30, type=int)
     ap.add_argument("--path", default="int",
                     choices=["int", "fake", "fp32"])

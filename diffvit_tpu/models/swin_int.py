@@ -58,6 +58,16 @@ def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
         ip["layers"].append(st)
     ip["norm"] = params["norm"]
     ip["head"] = w_site(f"head.w.int{bit}", params["head"])
+
+    # static symmetric-activations flag for the codes-carrying residual
+    # path (see models/vit_int.prepare_int): True iff every activation
+    # zero-point is 0, so fake-quant values can ride as int8 codes
+    zps = [v for k, v in qp.items() if k.endswith(".zp")]
+    if any(isinstance(z, jax.core.Tracer) for z in zps):
+        ip["sym_acts"] = False
+    else:
+        ip["sym_acts"] = all(bool(jnp.all(jnp.asarray(z) == 0))
+                             for z in zps)
     return ip
 
 
@@ -124,6 +134,18 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                                 ip["patch_norm"]["b"], eps)
     h = fq("patch.qact", h)
     last_q = "patch.qact"
+    B0 = h.shape[0]
+
+    # codes-carrying residual stream (models/vit_int.forward_q_int): carry
+    # int8 CODES on the current qact grid instead of f32 fake-quant values
+    # — value-identical (zp==0 via sym_acts), 4x less fence/LN HBM traffic
+    sym_acts = ip.get("sym_acts", False)
+    sym_acts = bool(sym_acts) \
+        if not isinstance(sym_acts, jax.core.Tracer) else False
+    hc = None
+    if use_pallas and cfg.int_norm and sym_acts:
+        hc = jnp.clip(jnp.round(h / s(last_q)), bt_a.lower_bound,
+                      bt_a.upper_bound).astype(jnp.int8)
 
     for si, st in enumerate(ip["layers"]):
         for bi, ib in enumerate(st["blocks"]):
@@ -131,10 +153,10 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
             geom = block_geometry(spec, si, bi)
             res, ws, shift, mask = geom
             nh = spec.num_heads[si]
-            shortcut = h
 
             if cfg.int_norm:
-                x_i8 = _ln_int8(h, ib["norm1"], s(last_q), s(f"{p}.qact1"), eps)
+                x_i8 = _ln_int8(h if hc is None else None, ib["norm1"],
+                                s(last_q), s(f"{p}.qact1"), eps, x_codes=hc)
             else:
                 y = fq(f"{p}.qact1",
                        float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps))
@@ -214,14 +236,25 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                 o = fq(f"{p}.attn.qact3", o)
                 o_i8 = _requant_i8(o, s(f"{p}.attn.qact3"))
             y = int_linear(ib["proj"], o_i8, s(f"{p}.attn.qact3"))
-            y = fq(f"{p}.attn.qact4", y)
-
-            h = shortcut + _unwindows(y, res, ws, shift, h.shape[0])
-            h = fq(f"{p}.qact2", h)
+            if hc is not None:
+                # attn.qact4 -> residual -> qact2 on int8 codes
+                s_aq4 = s(f"{p}.attn.qact4")
+                yq = jnp.clip(jnp.round(y / s_aq4), bt_a.lower_bound,
+                              bt_a.upper_bound)
+                hs = hc.astype(jnp.float32) * s(last_q) \
+                    + _unwindows(yq, res, ws, shift, B0) * s_aq4
+                hc = jnp.clip(jnp.round(hs / s(f"{p}.qact2")),
+                              bt_a.lower_bound, bt_a.upper_bound) \
+                    .astype(jnp.int8)
+            else:
+                y = fq(f"{p}.attn.qact4", y)
+                h = h + _unwindows(y, res, ws, shift, B0)
+                h = fq(f"{p}.qact2", h)
 
             if cfg.int_norm:
-                x_i8 = _ln_int8(h, ib["norm2"], s(f"{p}.qact2"),
-                                s(f"{p}.qact3"), eps)
+                x_i8 = _ln_int8(h if hc is None else None, ib["norm2"],
+                                s(f"{p}.qact2"), s(f"{p}.qact3"), eps,
+                                x_codes=hc)
             else:
                 yf = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
                 x_i8 = _requant_i8(fq(f"{p}.qact3", yf), s(f"{p}.qact3"))
@@ -239,7 +272,8 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                     s(f"{p}.qact3") * ib["fc1"]["sw"], ib["fc1"]["b"],
                     s(f"{p}.mlp.qact1") * ib["fc2"]["sw"], ib["fc2"]["b"],
                     s(f"{p}.mlp.qact2"), s(f"{p}.mlp.qact1"),
-                    block_rows=block, interpret=pallas_interpret)
+                    block_rows=block, emit_codes=hc is not None,
+                    interpret=pallas_interpret)
                 y = y[:rows].reshape(bq, lq, cq)
             else:
                 y = int_linear(ib["fc1"], x_i8, s(f"{p}.qact3"))
@@ -248,26 +282,48 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                 y_i8 = _requant_i8(y, s(f"{p}.mlp.qact1"))
                 y = int_linear(ib["fc2"], y_i8, s(f"{p}.mlp.qact1"))
                 y = fq(f"{p}.mlp.qact2", y)
-            h = h + y
-            h = fq(f"{p}.qact4", h)
+            if hc is not None:
+                # mlp.qact2 codes -> residual -> qact4 on int8 codes
+                hs = hc.astype(jnp.float32) * s(f"{p}.qact2") \
+                    + y.astype(jnp.float32) * s(f"{p}.mlp.qact2")
+                hc = jnp.clip(jnp.round(hs / s(f"{p}.qact4")),
+                              bt_a.lower_bound, bt_a.upper_bound) \
+                    .astype(jnp.int8)
+            else:
+                h = h + y
+                h = fq(f"{p}.qact4", h)
             last_q = f"{p}.qact4"
 
         if st["downsample"] is not None:
             ds = st["downsample"]
             p = f"layers.{si}.downsample"
-            h = _merge_patches(h, spec.stage_resolution(si))
-            if cfg.int_norm:
-                x_i8 = _ln_int8(h, ds["norm"], jnp.tile(s(last_q), 4),
-                                s(f"{p}.qact1"), eps)
+            if hc is not None:
+                # patch merge is a pure permutation — runs on the int8
+                # codes; the merged grid is the 4x-tiled source grid
+                hcm = _merge_patches(hc, spec.stage_resolution(si))
+                x_i8 = _ln_int8(None, ds["norm"], jnp.tile(s(last_q), 4),
+                                s(f"{p}.qact1"), eps, x_codes=hcm)
+                y = int_linear(ds["reduction"], x_i8, s(f"{p}.qact1"))
+                hc = jnp.clip(jnp.round(y / s(f"{p}.qact2")),
+                              bt_a.lower_bound, bt_a.upper_bound) \
+                    .astype(jnp.int8)
             else:
-                yf = float_layernorm(h, ds["norm"]["w"], ds["norm"]["b"], eps)
-                x_i8 = _requant_i8(fq(f"{p}.qact1", yf), s(f"{p}.qact1"))
-            h = int_linear(ds["reduction"], x_i8, s(f"{p}.qact1"))
-            h = fq(f"{p}.qact2", h)
+                h = _merge_patches(h, spec.stage_resolution(si))
+                if cfg.int_norm:
+                    x_i8 = _ln_int8(h, ds["norm"], jnp.tile(s(last_q), 4),
+                                    s(f"{p}.qact1"), eps)
+                else:
+                    yf = float_layernorm(h, ds["norm"]["w"],
+                                         ds["norm"]["b"], eps)
+                    x_i8 = _requant_i8(fq(f"{p}.qact1", yf),
+                                       s(f"{p}.qact1"))
+                h = int_linear(ds["reduction"], x_i8, s(f"{p}.qact1"))
+                h = fq(f"{p}.qact2", h)
             last_q = f"{p}.qact2"
 
     if cfg.int_norm:
-        x_i8 = _ln_int8(h, ip["norm"], s(last_q), s("qact2"), eps)
+        x_i8 = _ln_int8(h if hc is None else None, ip["norm"], s(last_q),
+                        s("qact2"), eps, x_codes=hc)
         h = x_i8.astype(jnp.float32) * s("qact2")
     else:
         h = fq("qact2", float_layernorm(h, ip["norm"]["w"], ip["norm"]["b"], eps))
