@@ -115,11 +115,14 @@ def bench_swin(model, bits, batch, steps=10):
     return _chained_throughput(run, batch, steps)
 
 
-def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512):
+def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
+                   native=False):
     """Host-pipeline-inclusive eval: JPEG decode -> resize/crop/normalize
-    -> H2D -> integer forward, threaded prefetch loader.  This host has ONE
-    CPU core, so the number is honestly host-bound — reported as its own
-    row, not hidden."""
+    -> H2D -> integer forward.  ``native=False``: PIL decode + numpy
+    transform on a thread pool; ``native=True``: the whole batch in one C
+    call (libjpeg + bit-exact-Pillow resample, data/native_decode.py) —
+    float-identical outputs.  This host has ONE CPU core, so both numbers
+    are honestly host-bound — reported as their own rows, not hidden."""
     import tempfile
 
     import jax
@@ -127,7 +130,7 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512):
 
     from diffvit_tpu.config import QuantConfig
     from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, \
-        build_transform
+        NativeJpegLoader, build_transform
     from diffvit_tpu.data.synthetic import make_fake_imagefolder
     from diffvit_tpu.models import vit, vit_int
 
@@ -143,8 +146,11 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512):
         make_fake_imagefolder(root, num_classes=8,
                               per_class=n_images // 8, size=256)
         ds = ImageFolder(root, build_transform())
-        loader = DataLoader(ds, batch_size=batch, num_workers=8,
-                            drop_last=True)
+        if native:
+            loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True)
+        else:
+            loader = DataLoader(ds, batch_size=batch, num_workers=8,
+                                drop_last=True)
         # warm the compile outside the timed loop
         fwd(jnp.zeros((batch, 3, 224, 224), jnp.float32)).block_until_ready()
         # eval batches are independent: dispatch asynchronously and block
@@ -159,6 +165,36 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512):
             n += imgs.shape[0]
         for o in outs:
             o.block_until_ready()
+        dt = time.perf_counter() - t0
+    return n / dt
+
+
+def bench_loader_host(native=False, batch=64, n_images=512):
+    """Host-only loader throughput (JPEG decode -> preprocess -> stacked
+    float32 batch, NO device in the loop).  This isolates the data
+    pipeline itself from the axon tunnel's dispatch/RPC contention, which
+    dominates (and randomizes) the e2e rows on this 1-core host."""
+    import tempfile
+
+    from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, \
+        NativeJpegLoader, build_transform
+    from diffvit_tpu.data.synthetic import make_fake_imagefolder
+
+    with tempfile.TemporaryDirectory() as root:
+        make_fake_imagefolder(root, num_classes=8,
+                              per_class=n_images // 8, size=256)
+        ds = ImageFolder(root, build_transform())
+        if native:
+            loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True)
+        else:
+            loader = DataLoader(ds, batch_size=batch, num_workers=8,
+                                drop_last=True)
+        for _ in loader:  # warm: builds the native lib, warms page cache
+            pass
+        n = 0
+        t0 = time.perf_counter()
+        for imgs, _ in loader:
+            n += imgs.shape[0]
         dt = time.perf_counter() - t0
     return n / dt
 
@@ -196,7 +232,11 @@ def run_matrix():
     mixed = tuple(4 if i % 2 else 8 for i in range(nslots))
     add("deit_small_mixed48_int_b256", bench_vit,
         model="deit_small", bits=4, path="int", batch=256, bit_config=mixed)
+    add("host_loader_pil_b64", bench_loader_host)
+    add("host_loader_native_b64", bench_loader_host, native=True)
     add("pipeline_e2e_jpeg_deit_small_int4_b64", bench_pipeline)
+    add("pipeline_e2e_jpeg_native_deit_small_int4_b64", bench_pipeline,
+        native=True)
 
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC}

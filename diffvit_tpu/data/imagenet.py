@@ -123,3 +123,63 @@ class DataLoader:
                 imgs = np.stack([o[0] for o in out])
                 labels = np.asarray([o[1] for o in out], np.int32)
                 yield imgs, labels
+
+
+class NativeJpegLoader:
+    """Native-pipeline DataLoader: each batch of JPEGs decodes AND
+    preprocesses in one C call (libjpeg JDCT_ISLOW decode — PIL-identical
+    pixels — into the bit-exact-Pillow resample/crop/normalize of
+    native/preproc.cpp; OpenMP across images, GIL released), with a
+    background thread preparing batch i+1 while the accelerator consumes
+    batch i.  Non-JPEG samples fall back to the dataset's PIL transform,
+    so outputs are float-identical to DataLoader's in every case
+    (tests/test_native_decode.py)."""
+
+    def __init__(self, dataset: ImageFolder, batch_size, drop_last=False,
+                 input_size=224, crop_pct=0.875,
+                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+        from . import native_decode
+
+        native_decode.load_library()  # build/verify up front
+        self._nd = native_decode
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.kw = dict(input_size=input_size, crop_pct=crop_pct,
+                       mean=mean, std=std)
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else math.ceil(
+            n / self.batch_size)
+
+    def _make(self, idxs):
+        samples = [self.dataset.samples[i] for i in idxs]
+        labels = np.asarray([s[1] for s in samples], np.int32)
+        paths = [s[0] for s in samples]
+        try:
+            imgs = self._nd.decode_preprocess_batch(paths, **self.kw)
+        except ValueError:
+            # mixed/broken content: per-item native with PIL fallback
+            outs = []
+            for i, p in zip(idxs, paths):
+                try:
+                    outs.append(self._nd.decode_preprocess(p, **self.kw))
+                except ValueError:
+                    outs.append(self.dataset[i][0])
+            imgs = np.stack(outs)
+        return imgs, labels
+
+    def __iter__(self):
+        nb = len(self)
+        order = np.arange(len(self.dataset))
+        with cf.ThreadPoolExecutor(1) as pool:
+            def submit(bi):
+                idxs = order[bi * self.batch_size:(bi + 1) * self.batch_size]
+                return pool.submit(self._make, idxs)
+
+            pending = submit(0) if nb else None
+            for bi in range(nb):
+                fut = pending
+                pending = submit(bi + 1) if bi + 1 < nb else None
+                yield fut.result()
