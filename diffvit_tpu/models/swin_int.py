@@ -165,9 +165,15 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
             b_, n, c = yw_i8.shape[0], ws * ws, yw_i8.shape[-1]
 
             qkv = int_linear(ib["qkv"], yw_i8, s(f"{p}.qact1"))
-            qkv = fq(f"{p}.attn.qact1", qkv)
             s1 = s(f"{p}.attn.qact1")
-            qkv_i8 = _requant_i8(qkv, s1)
+            if hc is not None:
+                # zp==0 (sym_acts): fq then requant both compute
+                # clip(round(y/s1)) — collapse to ONE pass over the
+                # (Bw, n, 3C) stream instead of an f32 round trip + requant
+                qkv_i8 = _requant_i8(qkv, s1, bt_a.lower_bound,
+                                     bt_a.upper_bound)
+            else:
+                qkv_i8 = _requant_i8(fq(f"{p}.attn.qact1", qkv), s1)
             hd = c // nh
 
             table_q = fq(f"{p}.attn.qact_table", ib["rel_bias_table"])
@@ -247,6 +253,7 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                               bt_a.lower_bound, bt_a.upper_bound) \
                     .astype(jnp.int8)
             else:
+                y = int_linear(ib["proj"], o_i8, s(f"{p}.attn.qact3"))
                 y = fq(f"{p}.attn.qact4", y)
                 h = h + _unwindows(y, res, ws, shift, B0)
                 h = fq(f"{p}.qact2", h)
