@@ -88,12 +88,20 @@ def _lis_body(a_int, scale, bits, col_ok, fast=False):
     exp_int = jnp.where(col_ok, exp_int, 0.0)
     exp_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
     # log2 quantization (layers.py:367-376); exp_int == 0 -> inf -> masked 0
-    # log_round(m) == floor(log2(2m/3)) + 1, bit-exact (see ops/lis.py)
+    # log_round(m) == floor(log2(2m/3)) + 1, bit-exact (see ops/lis.py).
+    # Tail folded to y = 4m/3: floor(log2(2m/3)) + 1 == floor(log2(4m/3))
+    # (adding 1 inside the floor of a log2 is multiplying by 2), and the
+    # saturation test rounds >= 2^bits == y >= 2^(2^bits), so the +1, the
+    # minimum() clamp and one extra mul drop out (3 VPU passes over the
+    # (.., N, N) scores).  f32-exact: for integer m the distance of 4m/3
+    # from any power of two is >= 1/3, while the product's rounding error
+    # in the non-saturated range (y < 2^17) is < 2^-7 — the floor/compare
+    # can never be pushed across a boundary.  Masked columns: exp_int 0 ->
+    # m = inf -> saturated -> 0, as before.
     softmax_inv = jnp.round(exp_sum / exp_int)
-    rounds = jnp.floor(jnp.log2(2.0 * softmax_inv / 3.0)) + 1.0
-    sat = rounds >= 2.0**bits
-    qlog = jnp.minimum(rounds, 2.0**bits - 1.0)
-    deq = jnp.where(sat, 0.0, jnp.exp2(-qlog))
+    y = softmax_inv * (4.0 / 3.0)
+    sat = y >= 2.0 ** (2.0**bits)
+    deq = jnp.where(sat, 0.0, jnp.exp2(-jnp.floor(jnp.log2(y))))
     return deq.astype(jnp.bfloat16)
 
 
