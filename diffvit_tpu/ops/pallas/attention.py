@@ -93,15 +93,36 @@ def _lis_body(a_int, scale, bits, col_ok, fast=False):
     # (adding 1 inside the floor of a log2 is multiplying by 2), and the
     # saturation test rounds >= 2^bits == y >= 2^(2^bits), so the +1, the
     # minimum() clamp and one extra mul drop out (3 VPU passes over the
-    # (.., N, N) scores).  f32-exact: for integer m the distance of 4m/3
-    # from any power of two is >= 1/3, while the product's rounding error
-    # in the non-saturated range (y < 2^17) is < 2^-7 — the floor/compare
-    # can never be pushed across a boundary.  Masked columns: exp_int 0 ->
+    # (.., N, N) scores).
+    #
+    # The (1 + 2^-17) nudge folded into the constant defends the floor
+    # against hardware log2 approximation error: y = 4m/3 lands EXACTLY on
+    # a power of two whenever m = 3*2^k (m = 49152 is the bits=4
+    # saturation boundary itself), and measured log2(2^k) error at powers
+    # is -1.9e-6..+1.9e-6 on XLA CPU/TPU and 0..+3.8e-6 in Mosaic — an
+    # undershoot there drops the floor by one (the UNFOLDED 2m/3 form had
+    # the same latent bug at m = 3*2^14: XLA's log2(32768) = 14.999999
+    # yields 2^-15 where the reference saturates to 0).  Margins: the
+    # nudge lifts exact-power y by 7.6e-6 rel (4x the worst undershoot),
+    # while integer-m y values below a power sit >= 4/3 absolute away —
+    # relative >= 2e-5 over the whole bits<=4 non-saturated range
+    # (y < 2^16), 2.6x the nudge+overshoot — and the saturation compare is
+    # unaffected (gap 4/3 vs shift 0.5 at the boundary).  Those margins
+    # collapse for bits > 4 (non-saturated y reaches 2^(2^bits), where the
+    # 4/3 gap is relatively tiny), so wider-than-reference LIS codes keep
+    # the literal chain.  tests/test_lis_tailfold.py sweeps every m
+    # through the f64-exact reference.  Masked columns: exp_int 0 ->
     # m = inf -> saturated -> 0, as before.
     softmax_inv = jnp.round(exp_sum / exp_int)
-    y = softmax_inv * (4.0 / 3.0)
-    sat = y >= 2.0 ** (2.0**bits)
-    deq = jnp.where(sat, 0.0, jnp.exp2(-jnp.floor(jnp.log2(y))))
+    if bits <= 4:
+        y = softmax_inv * (4.0 / 3.0 * (1.0 + 2.0**-17))
+        sat = y >= 2.0 ** (2.0**bits)
+        deq = jnp.where(sat, 0.0, jnp.exp2(-jnp.floor(jnp.log2(y))))
+    else:
+        rounds = jnp.floor(jnp.log2(2.0 * softmax_inv / 3.0)) + 1.0
+        sat = rounds >= 2.0**bits
+        qlog = jnp.minimum(rounds, 2.0**bits - 1.0)
+        deq = jnp.where(sat, 0.0, jnp.exp2(-qlog))
     return deq.astype(jnp.bfloat16)
 
 
