@@ -223,6 +223,10 @@ def run_matrix():
         model="deit_tiny", bits=0, path="fp32", batch=256)
     add("vit_base_int8_int_b96", bench_vit,
         model="vit_base", bits=8, path="int", batch=96)
+    add("deit_base_int8_int_b128", bench_vit,
+        model="deit_base", bits=8, path="int", batch=128)
+    add("vit_large_int8_int_b32", bench_vit,
+        model="vit_large", bits=8, path="int", batch=32)
     add("swin_tiny_int8_int_b128", bench_swin,
         model="swin_tiny", bits=8, batch=128)
     # mixed-precision: alternating 4/8 per block as the evolutionary
