@@ -231,6 +231,8 @@ def run_matrix():
         model="swin_tiny", bits=8, batch=128)
     add("swin_small_int8_int_b96", bench_swin,
         model="swin_small", bits=8, batch=96)
+    add("swin_base_int8_int_b48", bench_swin,
+        model="swin_base", bits=8, batch=48)
     # mixed-precision: alternating 4/8 per block as the evolutionary
     # search would produce (one retrace/compile, then steady state)
     from diffvit_tpu.models import vit as _vit
