@@ -18,7 +18,7 @@ from ..ops.lis import log_int_softmax
 from ..ops.quant import fake_quant
 from .swin import (SwinSpec, _merge_patches, _unwindows, _windows,
                    block_geometry, relative_position_index, swin_patchify)
-from .vit_int import I32, _int_dot, _ln_int8, _quant_w, _requant_i8
+from .vit_int import _int_dot, _ln_int8, _quant_w, _requant_i8
 
 
 def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
