@@ -72,11 +72,12 @@ class DDVHessian:
         self.ref_ddvs = [jax.lax.stop_gradient(d) for d in ref_ddvs]
         self.tap_names = names
         if layer_indices is not None:
-            # map the selected tap back to the weight whose block produced it
-            # (reference selects params up to nameSelected,
-            # ddv_hessian.py:198; here we probe every target weight of the
-            # selected tap's block and earlier, matching get_params_grad)
-            self.param_names = hessian_target_names(self.spec)
+            # reference semantics (pyhessian/utils.py:61-99, used at
+            # ddv_hessian.py:198): probe only parameters up to AND including
+            # the first target weight whose name contains the selected tap's
+            # module name (nameSelected = layer_info[0]['name'])
+            self.param_names = params_up_to(hessian_target_names(self.spec),
+                                            names[0])
         else:
             self.param_names = hessian_target_names(self.spec)
 

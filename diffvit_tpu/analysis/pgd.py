@@ -43,6 +43,79 @@ def make_pgd(forward_fn, epsilon=0.06, step_size=0.01, num_steps=50):
     return gen
 
 
+def make_pseudo_label_pgd(forward_fn, epsilon=0.3, step_size=0.01,
+                          num_steps=50):
+    """The modeldiff_p2 profiling attack (/root/reference/
+    modeldiff_p2.py:152-178): L∞ PGD ascending ``myloss`` against
+    pseudo-targets, iterates clamped to the ε-ball AND to [0, 1].
+
+    myloss(ŷ, y) = -((ŷ₀-y₀)² + 0.1·mean((ŷ₁:-y₁:)²)).mean(): maximizing it
+    (the torch loop follows +sign(∂loss/∂x)) DRIVES the logits toward the
+    pseudo-targets.  Returns jitted fn(inputs, targets, key) -> adv inputs;
+    pass ``init_noise`` instead of ``key`` to pin the uniform start.
+    """
+
+    def myloss(yhat, y):
+        return -jnp.mean((yhat[:, 0] - y[:, 0]) ** 2
+                         + 0.1 * jnp.mean((yhat[:, 1:] - y[:, 1:]) ** 2,
+                                          axis=1))
+
+    @jax.jit
+    def gen(inputs, targets, noise):
+        x0 = inputs + noise
+
+        def loss_fn(x):
+            return myloss(forward_fn(x), targets)
+
+        def body(_, x):
+            g = jax.grad(loss_fn)(x)
+            x = x + step_size * jnp.sign(g)
+            x = jnp.minimum(jnp.maximum(x, inputs - epsilon),
+                            inputs + epsilon)
+            return jnp.clip(x, 0.0, 1.0)  # reference clamps to image range
+
+        return jax.lax.fori_loop(0, num_steps, body, x0)
+
+    def run(inputs, targets, key=None, init_noise=None):
+        inputs = jnp.asarray(inputs)
+        if init_noise is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            init_noise = jax.random.uniform(key, inputs.shape,
+                                            minval=-epsilon, maxval=epsilon)
+        return gen(inputs, jnp.asarray(targets), jnp.asarray(init_noise))
+
+    return run
+
+
+def gen_profiling_adv_inputs(model, inputs, key=None, quant=False,
+                             bit_config=None, epsilon=0.3, step_size=0.01,
+                             num_steps=50, init_noise=None):
+    """modeldiff_p2.gen_adv_inputs (:180-194): pseudo-targets are
+    (mean(clean logits) − clean logits) × 1000; labels are unused."""
+    fwd = _engine_forward(model, quant, bit_config)
+    inputs = jnp.asarray(inputs)
+    clean = fwd(inputs)
+    y = (jnp.mean(clean, axis=0) - clean) * 1000.0
+    attack = make_pseudo_label_pgd(fwd, epsilon, step_size, num_steps)
+    return attack(inputs, y, key=key, init_noise=init_noise)
+
+
+def _engine_forward(model, quant, bit_config):
+    """logits-only forward over an engine.QuantizedViT."""
+    if bit_config is not None:
+        if model.is_swin:
+            bit_config = int(bit_config if isinstance(bit_config, int)
+                             else bit_config[0])
+        else:
+            bit_config = tuple(int(b) for b in bit_config)
+
+    def fwd(x):
+        return model._forward_fn(quant, bit_config)(
+            model.params, model.qparams, x)
+
+    return fwd
+
+
 class AttackPGD:
     """Object-style wrapper mirroring the reference API
     (dataset_utility.py:82-191)."""

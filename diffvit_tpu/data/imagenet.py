@@ -51,6 +51,13 @@ def build_transform(input_size=224, interpolation="bicubic",
         arr = arr.transpose(2, 0, 1)  # HWC -> CHW
         return (arr - mean) / std
 
+    # advertised so consumers (NativeJpegLoader) can derive/validate their
+    # preprocessing against the dataset's transform instead of trusting
+    # callers to pass matching kwargs
+    transform.params = dict(input_size=input_size, interpolation=interpolation,
+                            mean=tuple(np.asarray(mean).reshape(-1).tolist()),
+                            std=tuple(np.asarray(std).reshape(-1).tolist()),
+                            crop_pct=crop_pct)
     return transform
 
 
@@ -95,6 +102,7 @@ class DataLoader:
         self.num_workers = max(1, num_workers)
         self.drop_last = drop_last
         self.seed = seed
+        self._epoch = 0  # advances per __iter__ for fresh epoch shuffles
 
     def __len__(self):
         n = len(self.dataset)
@@ -108,7 +116,17 @@ class DataLoader:
     def __iter__(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(order)
+            # fresh shuffle per epoch (deterministic in (seed, epoch)) — the
+            # reference reshuffles on every get_dataset call / epoch
+            # (dataset_utility.py:45-80, torch DataLoader shuffle=True);
+            # reusing one fixed seed would make every epoch identical and
+            # degenerate multi-iteration CKA/DDV averages to one repeated
+            # epoch.  Epoch 0 keeps the legacy rng(seed) stream so
+            # single-epoch consumers (calibration batch choice) see the
+            # exact order previous rounds pinned.
+            key = self.seed if self._epoch == 0 else (self.seed, self._epoch)
+            np.random.default_rng(key).shuffle(order)
+            self._epoch += 1
         nb = len(self)
         with cf.ThreadPoolExecutor(self.num_workers) as pool:
             def submit(bi):
@@ -136,8 +154,7 @@ class NativeJpegLoader:
     (tests/test_native_decode.py)."""
 
     def __init__(self, dataset: ImageFolder, batch_size, drop_last=False,
-                 input_size=224, crop_pct=0.875,
-                 mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225)):
+                 input_size=None, crop_pct=None, mean=None, std=None):
         from . import native_decode
 
         native_decode.load_library()  # build/verify up front
@@ -145,8 +162,31 @@ class NativeJpegLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
-        self.kw = dict(input_size=input_size, crop_pct=crop_pct,
-                       mean=mean, std=std)
+        # Derive preprocessing from the dataset's transform when it
+        # advertises its params (build_transform does), so native items and
+        # PIL-fallback items in one batch can never be preprocessed
+        # differently; explicit kwargs must agree with the transform.
+        tf_params = getattr(getattr(dataset, "transform", None), "params", None)
+        defaults = dict(input_size=224, crop_pct=0.875,
+                        mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225))
+        explicit = dict(input_size=input_size, crop_pct=crop_pct,
+                        mean=mean, std=std)
+        self.kw = {}
+        for k, v in explicit.items():
+            if v is None:
+                v = tf_params[k] if tf_params is not None else defaults[k]
+            if tf_params is not None and \
+                    not np.allclose(np.asarray(v, np.float64),
+                                    np.asarray(tf_params[k], np.float64)):
+                raise ValueError(
+                    f"NativeJpegLoader {k}={v!r} disagrees with the "
+                    f"dataset transform's {k}={tf_params[k]!r}; native and "
+                    "PIL-fallback items would be preprocessed differently")
+            self.kw[k] = v
+        if tf_params is not None and tf_params["interpolation"] != "bicubic":
+            raise ValueError(
+                "the native pipeline implements bicubic resampling only; "
+                f"dataset transform uses {tf_params['interpolation']!r}")
 
     def __len__(self):
         n = len(self.dataset)

@@ -253,7 +253,6 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                               bt_a.lower_bound, bt_a.upper_bound) \
                     .astype(jnp.int8)
             else:
-                y = int_linear(ib["proj"], o_i8, s(f"{p}.attn.qact3"))
                 y = fq(f"{p}.attn.qact4", y)
                 h = h + _unwindows(y, res, ws, shift, B0)
                 h = fq(f"{p}.qact2", h)

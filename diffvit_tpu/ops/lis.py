@@ -67,21 +67,29 @@ def int_softmax_from_int(x_int, scaling_factor):
 
 
 def _lis_tail(exp_int, exp_sum, bit_type: BitType):
+    # Reference LIS width is uint4; wider codes would need compare-correct
+    # integer thresholds (3*2^k) because near 2^(2^bits) the 4/3 integer gap
+    # is relatively tiny and hardware log2 error can flip the floor — see
+    # ops/pallas/attention._lis_body for the measured margins.
+    if bit_type.bits > 4:
+        raise NotImplementedError(
+            "LIS tail is hardened for bits<=4 only (reference BIT_TYPE_S is "
+            "uint4); bits>4 needs compare-correct 3*2^k thresholds")
     softmax_inv = jnp.round(exp_sum / exp_int)
-    # log_round(m) == floor(log2(2m/3)) + 1 for every integer m >= 1:
-    # the bump condition m >= 1.5*2^f folds into the shifted log.  Exact in
-    # f32 — at the boundaries m = 3*2^k the quotient 2m/3 = 2^(k+1) is
-    # computed exactly (representable result of a correctly-rounded divide),
-    # elsewhere the quotient is >= 1/3 away from any power of two while the
-    # rounding error is < 2^(j-24) (saturation at rounds >= 2^bits caps the
-    # relevant m far below the fuzzy regime).  Saves two exp2 per element vs
-    # the literal floor/bump form — LIS is the VPU bottleneck of the
-    # integer attention.
-    rounds = jnp.floor(jnp.log2(2.0 * softmax_inv / 3.0)) + 1.0
-    mask = rounds >= 2**bit_type.bits
-    qlog = jnp.clip(rounds, 0, 2**bit_type.bits - 1)
-    deq = 2.0 ** (-qlog)
-    return jnp.where(mask, 0.0, deq)
+    # log_round(m) == floor(log2(2m/3)) + 1 == floor(log2(4m/3)) for every
+    # integer m >= 1: the bump condition m >= 1.5*2^f folds into the shifted
+    # log.  The (1 + 2^-17) nudge guards the fold against hardware log2
+    # undershoot at the exact power-of-two boundaries y = 4*(3*2^k)/3 = 2^(k+2)
+    # (TPU log2(2^k) errs ±1.9e-6 on XLA, 0..+3.8e-6 in Mosaic — an undershoot
+    # would drop the floor by one; margins measured in ops/pallas/attention
+    # _lis_body).  Saves two exp2 per element vs the literal floor/bump form —
+    # LIS is the VPU bottleneck of the integer attention.  Saturation compares
+    # y (not rounds): y >= 2^(2^bits) <=> rounds >= 2^bits, and the 4/3
+    # absolute gap at the boundary dwarfs the nudge.
+    y = softmax_inv * (4.0 / 3.0 * (1.0 + 2.0**-17))
+    sat = y >= 2.0 ** (2.0**bit_type.bits)
+    deq = jnp.exp2(-jnp.floor(jnp.log2(y)))
+    return jnp.where(sat, 0.0, deq)
 
 
 def log_int_softmax(x, scaling_factor, bit_type: BitType):

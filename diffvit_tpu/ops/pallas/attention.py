@@ -113,16 +113,18 @@ def _lis_body(a_int, scale, bits, col_ok, fast=False):
     # the literal chain.  tests/test_lis_tailfold.py sweeps every m
     # through the f64-exact reference.  Masked columns: exp_int 0 ->
     # m = inf -> saturated -> 0, as before.
+    if bits > 4:
+        # would silently reintroduce floor-flip at 3*2^k boundaries: for
+        # bits > 4 non-saturated y reaches 2^(2^bits) where the 4/3 integer
+        # gap is relatively tiny vs the hardware log2 error — needs
+        # compare-correct integer thresholds before widening
+        raise NotImplementedError(
+            "LIS kernel tail supports bits<=4 only (reference BIT_TYPE_S "
+            "is uint4)")
     softmax_inv = jnp.round(exp_sum / exp_int)
-    if bits <= 4:
-        y = softmax_inv * (4.0 / 3.0 * (1.0 + 2.0**-17))
-        sat = y >= 2.0 ** (2.0**bits)
-        deq = jnp.where(sat, 0.0, jnp.exp2(-jnp.floor(jnp.log2(y))))
-    else:
-        rounds = jnp.floor(jnp.log2(2.0 * softmax_inv / 3.0)) + 1.0
-        sat = rounds >= 2.0**bits
-        qlog = jnp.minimum(rounds, 2.0**bits - 1.0)
-        deq = jnp.where(sat, 0.0, jnp.exp2(-qlog))
+    y = softmax_inv * (4.0 / 3.0 * (1.0 + 2.0**-17))
+    sat = y >= 2.0 ** (2.0**bits)
+    deq = jnp.where(sat, 0.0, jnp.exp2(-jnp.floor(jnp.log2(y))))
     return deq.astype(jnp.bfloat16)
 
 

@@ -57,10 +57,15 @@ def main(argv=None):
     tf = build_transform(mean=pp.mean, std=pp.std, crop_pct=pp.crop_pct)
     train_ds = ImageFolder(os.path.join(args.data, "train"), tf)
 
+    # ONE loader shared by every factory call: its per-epoch shuffle state
+    # advances, so each cka_iter iteration consumes a distinct shuffle —
+    # the reference's repeated get_dataset calls draw fresh shuffles too
+    # (dataset_utility.py:45-80)
+    dl = DataLoader(train_ds, args.cka_batch, shuffle=True,
+                    num_workers=args.num_workers, drop_last=True,
+                    seed=args.seed)
+
     def batches():
-        dl = DataLoader(train_ds, args.cka_batch, shuffle=True,
-                        num_workers=args.num_workers, drop_last=True,
-                        seed=args.seed)
         return iter(dl)
 
     q_model.calibrate(next(batches())[0])

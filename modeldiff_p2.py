@@ -33,7 +33,7 @@ def main(argv=None):
     import jax
 
     from diffvit_tpu.analysis.ddv import compute_ddv, ddv_similarities
-    from diffvit_tpu.analysis.pgd import AttackPGD
+    from diffvit_tpu.analysis.pgd import gen_profiling_adv_inputs
     from diffvit_tpu.config import QuantConfig
     from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, build_transform
     from diffvit_tpu.data.synthetic import gaussian_calibration
@@ -51,7 +51,6 @@ def main(argv=None):
     if args.mode == 1:
         calib = gaussian_calibration(args.calib_batchsize, args.seed)
         seeds = gaussian_calibration(args.seed_batch, args.seed + 1)
-        labels = [0] * args.seed_batch
     else:
         ds = ImageFolder(os.path.join(args.data, "train"), tf)
         dl = DataLoader(ds, args.calib_batchsize, shuffle=True,
@@ -61,15 +60,15 @@ def main(argv=None):
         dl2 = DataLoader(ds, args.seed_batch, shuffle=True,
                          num_workers=args.num_workers, drop_last=True,
                          seed=args.seed + 1)
-        seeds, labels = next(iter(dl2))
+        seeds, _ = next(iter(dl2))  # labels unused by the profiling attack
     q_model.calibrate(calib)
 
-    attack = AttackPGD(fp_model, epsilon=0.06, step_size=0.01,
-                       num_steps=args.pgd_steps, quant=False)
-    import numpy as np
-
-    adv = attack.gen_adv_inputs(seeds, np.asarray(labels),
-                                jax.random.PRNGKey(args.seed))
+    # the reference's bespoke profiling attack (modeldiff_p2.py:152-194):
+    # ε=0.3, myloss on (mean−output)×1000 pseudo-targets, clamp to [0,1];
+    # labels are unused by it
+    adv = gen_profiling_adv_inputs(fp_model, seeds,
+                                   key=jax.random.PRNGKey(args.seed),
+                                   quant=False, num_steps=args.pgd_steps)
 
     src = compute_ddv(fp_model, seeds, adv, quant=False)
     tgt = compute_ddv(q_model, seeds, adv, quant=True)

@@ -132,13 +132,20 @@ def main(argv=None):
     val_loader = DataLoader(val_dataset, args.val_batchsize, shuffle=False,
                             num_workers=args.num_workers)
 
+    train_loader = None
+
     def train_batches(n, batch_size):
-        ds = ImageFolder(traindir, transform)
-        dl = DataLoader(ds, batch_size, shuffle=True,
-                        num_workers=args.num_workers, drop_last=True,
-                        seed=args.seed)
+        # one shared loader per batch size: successive calls advance its
+        # per-epoch shuffle (the reference's repeated loader iterations
+        # reshuffle anew, dataset_utility.py:45-80)
+        nonlocal train_loader
+        if train_loader is None or train_loader.batch_size != batch_size:
+            ds = ImageFolder(traindir, transform)
+            train_loader = DataLoader(ds, batch_size, shuffle=True,
+                                      num_workers=args.num_workers,
+                                      drop_last=True, seed=args.seed)
         out = []
-        for i, b in enumerate(dl):
+        for i, b in enumerate(train_loader):
             if i >= n:
                 break
             out.append(b)

@@ -38,3 +38,31 @@ def test_native_loader_falls_back_on_non_jpeg():
         for (gi, gl), (ri, rl) in zip(got, ref):
             np.testing.assert_array_equal(gl, rl)
             np.testing.assert_array_equal(gi, ri)
+
+
+def test_native_loader_derives_and_validates_transform_params():
+    from diffvit_tpu.data import native_decode
+
+    try:
+        native_decode.load_library()
+    except Exception as e:
+        pytest.skip(f"native decode unavailable: {e}")
+    with tempfile.TemporaryDirectory() as root:
+        make_fake_imagefolder(root, num_classes=1, per_class=2, size=64)
+        # non-default transform: loader must DERIVE matching kw from it
+        tf = build_transform(mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                             crop_pct=0.9)
+        ds = ImageFolder(root, tf)
+        loader = NativeJpegLoader(ds, batch_size=2)
+        assert loader.kw["crop_pct"] == 0.9
+        assert loader.kw["mean"] == (0.5, 0.5, 0.5)
+        ref = list(DataLoader(ds, batch_size=2, num_workers=1))
+        got = list(loader)
+        np.testing.assert_array_equal(got[0][0], ref[0][0])
+        # explicit kwargs that contradict the dataset transform must raise
+        with pytest.raises(ValueError, match="disagrees"):
+            NativeJpegLoader(ds, batch_size=2, crop_pct=0.875)
+        # non-bicubic transforms are outside the native pipeline
+        ds2 = ImageFolder(root, build_transform(interpolation="bilinear"))
+        with pytest.raises(ValueError, match="bicubic"):
+            NativeJpegLoader(ds2, batch_size=2)
