@@ -169,11 +169,15 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
     return n / dt
 
 
-def bench_loader_host(native=False, batch=64, n_images=512):
+def bench_loader_host(native=False, batch=64, n_images=512, size=256,
+                      fast=False):
     """Host-only loader throughput (JPEG decode -> preprocess -> stacked
     float32 batch, NO device in the loop).  This isolates the data
     pipeline itself from the axon tunnel's dispatch/RPC contention, which
-    dominates (and randomizes) the e2e rows on this 1-core host."""
+    dominates (and randomizes) the e2e rows on this 1-core host.
+    ``size``: fixture image size — 256 (legacy rows) or (500, 375)
+    (ImageNet-val-median geometry, where the resample and the DCT-scaled
+    fast decode actually engage).  ``fast``: NativeJpegLoader fast mode."""
     import tempfile
 
     from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, \
@@ -182,10 +186,11 @@ def bench_loader_host(native=False, batch=64, n_images=512):
 
     with tempfile.TemporaryDirectory() as root:
         make_fake_imagefolder(root, num_classes=8,
-                              per_class=n_images // 8, size=256)
+                              per_class=n_images // 8, size=size)
         ds = ImageFolder(root, build_transform())
         if native:
-            loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True)
+            loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True,
+                                      fast=fast)
         else:
             loader = DataLoader(ds, batch_size=batch, num_workers=8,
                                 drop_last=True)
@@ -242,6 +247,15 @@ def run_matrix():
         model="deit_small", bits=4, path="int", batch=256, bit_config=mixed)
     add("host_loader_pil_b64", bench_loader_host)
     add("host_loader_native_b64", bench_loader_host, native=True)
+    add("host_loader_native_fast_b64", bench_loader_host, native=True,
+        fast=True)
+    # ImageNet-val-median geometry (500x375): the resample + DCT-scaled
+    # fast decode engage here, unlike the 256-square legacy fixture
+    add("host_loader_pil_500x375_b64", bench_loader_host, size=(500, 375))
+    add("host_loader_native_500x375_b64", bench_loader_host, native=True,
+        size=(500, 375))
+    add("host_loader_native_fast_500x375_b64", bench_loader_host,
+        native=True, size=(500, 375), fast=True)
     add("pipeline_e2e_jpeg_deit_small_int4_b64", bench_pipeline)
     add("pipeline_e2e_jpeg_native_deit_small_int4_b64", bench_pipeline,
         native=True)

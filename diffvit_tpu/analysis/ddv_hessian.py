@@ -23,6 +23,22 @@ from .hessian import (_get_leaf, _set_leaf, hessian_target_names,
                       hutchinson_trace)
 
 
+def params_up_to(all_names, name_selected):
+    """Reference get_params_grad semantics (pyhessian/utils.py:61-99):
+    collect target params in named_parameters order, stopping AFTER the
+    first whose name contains ``name_selected`` (substring test, so
+    'blocks.1.attn' stops at blocks.1 — blocks.11 comes later).  If no
+    name matches (e.g. the selected tap is the patch conv, whose params
+    the target filter skips), the reference warns and keeps everything."""
+    out = []
+    for n in all_names:
+        out.append(n)
+        if name_selected in n:
+            return out
+    print(f"Warning: Target layer {name_selected} not found in model")
+    return out
+
+
 def _taps_for_layer(params, spec, x, layer_indices=None):
     taps: list = []
     vit_mod.forward_fp(params, spec, x, taps=taps)

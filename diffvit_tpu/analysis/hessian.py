@@ -294,12 +294,14 @@ def eigenvalue_density(params, spec, inputs, targets, key, iters=100, n_v=1,
 
 
 def hessian_sensitivity(params, spec, batches, key, max_iter=150, tol=5e-3,
-                        log=print, joint=True):
+                        log=print, joint=False):
     """test_quant.py:147-191: per-batch traces -> |.| -> min-max normalize ->
     mean over batches.  ``batches``: iterable of (inputs, targets); the
-    reference uses 10 calibration-loader batches.  ``joint``: use the
-    one-compile joint-probe estimator (default; set False for the
-    reference's per-leaf HVPs)."""
+    reference uses 10 calibration-loader batches.  ``joint=False`` (default)
+    is the reference's committed per-leaf HVP loop (hessian.py:163-211);
+    ``joint=True`` probes all leaves in one compiled HVP — same estimand,
+    different per-sample variance, ~49x fewer compiles (the CLI exposes this
+    as --hessian-estimator)."""
     fn = hessian_traces_joint if joint else hessian_traces
     trace_list = []
     for bi, (inputs, targets) in enumerate(batches):

@@ -154,7 +154,8 @@ class NativeJpegLoader:
     (tests/test_native_decode.py)."""
 
     def __init__(self, dataset: ImageFolder, batch_size, drop_last=False,
-                 input_size=None, crop_pct=None, mean=None, std=None):
+                 input_size=None, crop_pct=None, mean=None, std=None,
+                 fast=False):
         from . import native_decode
 
         native_decode.load_library()  # build/verify up front
@@ -162,6 +163,11 @@ class NativeJpegLoader:
         self.dataset = dataset
         self.batch_size = batch_size
         self.drop_last = drop_last
+        # fast=True: DCT-scaled decode near the resample target — several-
+        # fold cheaper host-side, NOT bit-exact vs the PIL/exact path (and
+        # PIL fallback items in a mixed batch stay exact); keep the default
+        # for parity runs
+        self.fast = bool(fast)
         # Derive preprocessing from the dataset's transform when it
         # advertises its params (build_transform does), so native items and
         # PIL-fallback items in one batch can never be preprocessed
@@ -198,13 +204,15 @@ class NativeJpegLoader:
         labels = np.asarray([s[1] for s in samples], np.int32)
         paths = [s[0] for s in samples]
         try:
-            imgs = self._nd.decode_preprocess_batch(paths, **self.kw)
+            imgs = self._nd.decode_preprocess_batch(paths, fast=self.fast,
+                                                    **self.kw)
         except ValueError:
             # mixed/broken content: per-item native with PIL fallback
             outs = []
             for i, p in zip(idxs, paths):
                 try:
-                    outs.append(self._nd.decode_preprocess(p, **self.kw))
+                    outs.append(self._nd.decode_preprocess(p, fast=self.fast,
+                                                           **self.kw))
                 except ValueError:
                     outs.append(self.dataset[i][0])
             imgs = np.stack(outs)

@@ -27,7 +27,7 @@ _SO = os.path.join(_BUILD_DIR, "libpreproc.so")
 
 def _build():
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", "-o", _SO, _SRC]
+    cmd = ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp", "-o", _SO, _SRC]
     subprocess.run(cmd, check=True, capture_output=True)
 
 

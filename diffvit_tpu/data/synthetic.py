@@ -21,8 +21,11 @@ def gaussian_calibration(batch_size: int, seed: int = 0, input_size: int = 224):
 
 
 def make_fake_imagefolder(root, num_classes=4, per_class=8, size=224, seed=0):
-    """Write a deterministic fake ImageFolder tree under ``root``."""
+    """Write a deterministic fake ImageFolder tree under ``root``.
+    ``size``: int for square images or (width, height) — e.g. (500, 375)
+    approximates the ImageNet val-set median for host-pipeline benches."""
     rng = np.random.default_rng(seed)
+    w, h = (size, size) if isinstance(size, int) else size
     base_colors = rng.integers(0, 255, size=(num_classes, 3))
     for c in range(num_classes):
         cdir = os.path.join(root, f"class_{c:03d}")
@@ -30,7 +33,7 @@ def make_fake_imagefolder(root, num_classes=4, per_class=8, size=224, seed=0):
         for i in range(per_class):
             img = np.clip(
                 base_colors[c][None, None, :]
-                + rng.normal(0, 40, size=(size, size, 3)), 0, 255
+                + rng.normal(0, 40, size=(h, w, 3)), 0, 255
             ).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(cdir, f"img_{i:04d}.jpg"))
     return root

@@ -226,11 +226,18 @@ def validate_bits(model: QuantizedViT, loader, configs, log=print):
     bits = np.asarray(configs, np.int32)
     correct = np.zeros(len(configs), np.int64)
     total = 0
+    pending = None  # dispatch-pipelined like validate()
     for data, target in loader:
-        logits = np.asarray(model.forward_bits(data, bits))
-        pred = logits.argmax(-1)  # (ncand, B)
-        correct += (pred == np.asarray(target)[None, :]).sum(1)
-        total += len(target)
+        logits_dev = model.forward_bits(data, bits)
+        if pending is not None:
+            logits, tgt = np.asarray(pending[0]), pending[1]
+            correct += (logits.argmax(-1) == tgt[None, :]).sum(1)
+            total += len(tgt)
+        pending = (logits_dev, np.asarray(target))
+    if pending is not None:
+        logits, tgt = np.asarray(pending[0]), pending[1]
+        correct += (logits.argmax(-1) == tgt[None, :]).sum(1)
+        total += len(tgt)
     prec1 = 100.0 * correct / max(total, 1)
     log(f"validate_bits: {len(configs)} configs x {total} images")
     return [float(p) for p in prec1]
@@ -240,14 +247,21 @@ def validate(model: QuantizedViT, loader, bit_config=None, quant=True,
              print_freq=100, log=print, use_int=False):
     """Full validation epoch with the reference's progress/report format
     (test_quant.py:418-466).  Returns (loss_avg, prec1_avg, prec5_avg).
-    use_int: run the real-integer MXU path instead of fake-quant."""
+    use_int: run the real-integer MXU path instead of fake-quant.
+
+    Dispatch-pipelined: batch i+1's forward is issued BEFORE blocking on
+    batch i's logits, so the dispatch round-trip (~0.7 s through the axon
+    tunnel) and the host loader overlap with device compute — wall-clock ≈
+    max(host, device) instead of their sum.  Per-batch metric/report
+    semantics are unchanged (each batch still scored in order)."""
     batch_time, losses = AverageMeter(), AverageMeter()
     top1, top5 = AverageMeter(), AverageMeter()
     val_start = end = time.time()
     n_batches = len(loader) if hasattr(loader, "__len__") else None
-    for i, (data, target) in enumerate(loader):
-        output = np.asarray(model(data, bit_config=bit_config, quant=quant,
-                                  use_int=use_int))
+
+    def score(i, output_dev, target):
+        nonlocal end
+        output = np.asarray(output_dev)  # blocks until the device is done
         loss = cross_entropy(output, target)
         prec1, prec5 = accuracy(output, target, topk=(1, 5))
         n = len(target)
@@ -264,6 +278,16 @@ def validate(model: QuantizedViT, loader, bit_config=None, quant=True,
                 "Prec@5 {top5.val:.3f} ({top5.avg:.3f})".format(
                     i, n_batches if n_batches is not None else "?",
                     bt=batch_time, loss=losses, top1=top1, top5=top5))
+
+    pending = None  # (index, async device output, target)
+    for i, (data, target) in enumerate(loader):
+        output_dev = model(data, bit_config=bit_config, quant=quant,
+                           use_int=use_int)  # async dispatch
+        if pending is not None:
+            score(*pending)
+        pending = (i, output_dev, target)
+    if pending is not None:
+        score(*pending)
     log(" * Prec@1 {top1.avg:.3f} Prec@5 {top5.avg:.3f} Time {t:.3f}".format(
         top1=top1, top5=top5, t=time.time() - val_start))
     return losses.avg, top1.avg, top5.avg

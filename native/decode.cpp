@@ -15,8 +15,10 @@
 //   jpeg_decode_rgb(buf, len, dst_u8_hwc)   -> 0 ok / <0 error
 //   jpeg_decode_preprocess(buf, len, dst_f32_chw, resize_to, crop,
 //                          mean, std)       -> 0 ok / <0 error
+//   jpeg_decode_preprocess_fast(...)        -> same, DCT-scaled decode
+//                                              (non-bit-exact fast mode)
 //   jpeg_decode_preprocess_batch(bufs, lens, n, dst, resize_to, crop,
-//                                mean, std, status)
+//                                mean, std, status, fast)
 
 #include <csetjmp>
 #include <cstdint>
@@ -68,10 +70,30 @@ struct Decoder {
 
 int decode_into(const uint8_t* buf, unsigned long len,
                 std::vector<uint8_t>* owned, uint8_t* ext,
-                int* out_h, int* out_w) {
+                int* out_h, int* out_w, int min_side = 0) {
     Decoder d;
     if (!d.start(buf, len)) return -1;
     if (setjmp(d.err.jb)) return -2;
+    if (min_side > 0) {
+        // DCT-domain scaled decode (libjpeg scale_num/scale_denom, M/8):
+        // pick the smallest M whose output short side still covers the
+        // resample target, so the IDCT runs on MxM sub-blocks and the
+        // color/upsampling passes touch ~(M/8)^2 of the pixels.  NOT
+        // bit-exact vs a full decode + resample (the resampler sees
+        // different source pixels) — callers opt in via fast mode.
+        // (JDCT_IFAST + do_fancy_upsampling=FALSE were measured: +14%
+        // throughput on the synthetic fixture but clean-vs-fast corr drops
+        // 0.998->0.995 on smooth content — not worth the accuracy risk;
+        // scaled ISLOW decode keeps eval-grade pixels.)
+        const int src_min = d.cinfo.image_height < d.cinfo.image_width
+                                ? d.cinfo.image_height
+                                : d.cinfo.image_width;
+        int m = (8 * min_side + src_min - 1) / src_min;  // ceil
+        if (m < 1) m = 1;
+        if (m > 8) m = 8;  // never upscale past the full-resolution decode
+        d.cinfo.scale_num = m;
+        d.cinfo.scale_denom = 8;
+    }
     jpeg_start_decompress(&d.cinfo);
     const int w = d.cinfo.output_width;
     const int h = d.cinfo.output_height;
@@ -133,17 +155,34 @@ int jpeg_decode_preprocess(const uint8_t* buf, unsigned long len, float* dst,
     return 0;
 }
 
+// Fast mode: DCT-domain scaled decode near the resample target, then the
+// same bit-exact-Pillow resample/crop/normalize.  Several-fold cheaper on
+// large JPEGs; pixels differ slightly from the exact mode because the
+// resampler consumes the scaled decode's output.
+int jpeg_decode_preprocess_fast(const uint8_t* buf, unsigned long len,
+                                float* dst, int resize_to, int crop,
+                                const float* mean, const float* std_) {
+    std::vector<uint8_t> rgb;
+    int h, w;
+    int rc = decode_into(buf, len, &rgb, nullptr, &h, &w, resize_to);
+    if (rc) return rc;
+    preprocess_rgb(rgb.data(), h, w, dst, resize_to, crop, mean, std_);
+    return 0;
+}
+
 void jpeg_decode_preprocess_batch(const uint8_t** bufs,
                                   const unsigned long* lens, int n,
                                   float* dst, int resize_to, int crop,
                                   const float* mean, const float* std_,
-                                  int* status) {
+                                  int* status, int fast) {
 #pragma omp parallel for schedule(dynamic)
     for (int i = 0; i < n; i++) {
-        status[i] = jpeg_decode_preprocess(
-            bufs[i], lens[i],
-            dst + static_cast<size_t>(i) * 3 * crop * crop,
-            resize_to, crop, mean, std_);
+        float* out = dst + static_cast<size_t>(i) * 3 * crop * crop;
+        status[i] = fast
+            ? jpeg_decode_preprocess_fast(bufs[i], lens[i], out, resize_to,
+                                          crop, mean, std_)
+            : jpeg_decode_preprocess(bufs[i], lens[i], out, resize_to, crop,
+                                     mean, std_);
     }
 }
 

@@ -88,41 +88,64 @@ static Coeffs precompute_coeffs(int in_size, int out_size) {
     return c;
 }
 
-// Horizontal pass: (h, in_w, 3) u8 -> (h, out_w, 3) u8
-static void resample_h(const uint8_t* src, int h, int in_w,
-                       uint8_t* dst, int out_w, const Coeffs& c) {
-    for (int yy = 0; yy < h; yy++) {
-        const uint8_t* row = src + static_cast<size_t>(yy) * in_w * 3;
-        uint8_t* orow = dst + static_cast<size_t>(yy) * out_w * 3;
-        for (int xx = 0; xx < out_w; xx++) {
-            int xmin = c.bounds[xx * 2 + 0];
-            int xcnt = c.bounds[xx * 2 + 1];
-            const int* k = &c.kk[xx * c.ksize];
-            for (int b = 0; b < 3; b++) {
-                int ss = 1 << (PRECISION_BITS - 1);
-                for (int x = 0; x < xcnt; x++)
-                    ss += row[(xmin + x) * 3 + b] * k[x];
-                orow[xx * 3 + b] = clip8(ss);
-            }
+// Resample along the LEADING axis of a (lead, rest) u8 matrix.  The tap
+// loop is hoisted outside a contiguous inner loop accumulating into an
+// int32 row buffer, which the compiler vectorizes (u8 widen, scalar
+// coefficient broadcast, 32-bit MAC) — the per-output-element tap-gather
+// form runs at scalar speed.  Arithmetic is identical to PIL's: same
+// per-tap int32 sums, same clip8 rounding.
+static void resample_lead(const uint8_t* src, int lead_in, int rest,
+                          uint8_t* dst, int lead_out, const Coeffs& c,
+                          std::vector<int32_t>* accbuf) {
+    accbuf->resize(rest);
+    int32_t* acc = accbuf->data();
+    for (int oo = 0; oo < lead_out; oo++) {
+        const int omin = c.bounds[oo * 2 + 0];
+        const int ocnt = c.bounds[oo * 2 + 1];
+        const int* k = &c.kk[oo * c.ksize];
+        for (int i = 0; i < rest; i++) acc[i] = 1 << (PRECISION_BITS - 1);
+        for (int t = 0; t < ocnt; t++) {
+            const uint8_t* row = src + static_cast<size_t>(omin + t) * rest;
+            const int32_t w = k[t];
+            for (int i = 0; i < rest; i++) acc[i] += row[i] * w;
+        }
+        uint8_t* orow = dst + static_cast<size_t>(oo) * rest;
+        for (int i = 0; i < rest; i++) orow[i] = clip8(acc[i]);
+    }
+}
+
+// (h, w, 3) u8 -> (w, h, 3) u8 pixel transpose
+static void transpose_px(const uint8_t* src, int h, int w, uint8_t* dst) {
+    for (int y = 0; y < h; y++) {
+        const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
+        for (int x = 0; x < w; x++) {
+            uint8_t* o = dst + (static_cast<size_t>(x) * h + y) * 3;
+            o[0] = row[x * 3 + 0];
+            o[1] = row[x * 3 + 1];
+            o[2] = row[x * 3 + 2];
         }
     }
+}
+
+// Horizontal pass: (h, in_w, 3) u8 -> (h, out_w, 3) u8.  Runs as a
+// leading-axis resample on the transposed image so the inner loops are
+// contiguous/vectorizable; the two transposes move bytes only — the sums
+// and rounding are exactly PIL's horizontal pass.
+static void resample_h(const uint8_t* src, int h, int in_w,
+                       uint8_t* dst, int out_w, const Coeffs& c) {
+    std::vector<uint8_t> tsrc(static_cast<size_t>(in_w) * h * 3);
+    std::vector<uint8_t> tdst(static_cast<size_t>(out_w) * h * 3);
+    std::vector<int32_t> acc;
+    transpose_px(src, h, in_w, tsrc.data());
+    resample_lead(tsrc.data(), in_w, h * 3, tdst.data(), out_w, c, &acc);
+    transpose_px(tdst.data(), out_w, h, dst);
 }
 
 // Vertical pass: (in_h, w, 3) u8 -> (out_h, w, 3) u8
 static void resample_v(const uint8_t* src, int in_h, int w,
                        uint8_t* dst, int out_h, const Coeffs& c) {
-    for (int yy = 0; yy < out_h; yy++) {
-        int ymin = c.bounds[yy * 2 + 0];
-        int ycnt = c.bounds[yy * 2 + 1];
-        const int* k = &c.kk[yy * c.ksize];
-        uint8_t* orow = dst + static_cast<size_t>(yy) * w * 3;
-        for (int xx = 0; xx < w * 3; xx++) {
-            int ss = 1 << (PRECISION_BITS - 1);
-            for (int y = 0; y < ycnt; y++)
-                ss += src[static_cast<size_t>(ymin + y) * w * 3 + xx] * k[y];
-            orow[xx] = clip8(ss);
-        }
-    }
+    std::vector<int32_t> acc;
+    resample_lead(src, in_h, w * 3, dst, out_h, c, &acc);
 }
 
 // Python-round semantics (half to even) — torchvision's CenterCrop offsets
@@ -181,15 +204,22 @@ void preprocess_rgb(const uint8_t* src, int sh, int sw, float* dst,
     if (left < 0) left = 0;
     if (top < 0) top = 0;
 
-    // same op order as the numpy path (x/255 - mean)/std for bit parity
+    // same op order as the numpy path (x/255 - mean)/std for bit parity.
+    // The uint8 domain has 256 values per channel: precompute the exact
+    // result once per channel and gather — two f32 divides per PIXEL
+    // (~2 ms/img, the old inner loop) become 768 divides per IMAGE.
+    float lut[3][256];
+    for (int b = 0; b < 3; b++)
+        for (int v = 0; v < 256; v++)
+            lut[b][v] = (v / 255.0f - mean[b]) / std_[b];
     for (int b = 0; b < 3; b++) {
-        float m = mean[b], s = std_[b];
+        const float* lb = lut[b];
         float* out = dst + static_cast<size_t>(b) * crop * crop;
         for (int y = 0; y < crop; y++) {
             const uint8_t* row =
                 cur + (static_cast<size_t>(top + y) * cur_w + left) * 3 + b;
             for (int x = 0; x < crop; x++)
-                out[y * crop + x] = (row[x * 3] / 255.0f - m) / s;
+                out[y * crop + x] = lb[row[x * 3]];
         }
     }
 }

@@ -41,10 +41,31 @@ def setup():
     return model, spec, params, inputs
 
 
+def _import_ref_modeldiff():
+    """modeldiff_p2 imports torchvision at module level (absent in this
+    hermetic env) but only touches it inside data-loading helpers we don't
+    call — stub the modules so the attack classes import."""
+    import sys
+    import types
+
+    for name in ("torchvision", "torchvision.datasets",
+                 "torchvision.transforms"):
+        sys.modules.setdefault(name, types.ModuleType(name))
+    # import by explicit path — the repo root has its own modeldiff_p2.py
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_modeldiff_p2", "/root/reference/modeldiff_p2.py")
+    ref_md = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(ref_md)
+    assert hasattr(ref_md, "AttackPGD")
+    return ref_md
+
+
 def _ref_attack(model, inputs, steps, seed):
     """gen_adv_inputs (modeldiff_p2.py:180-194) with the reference's own
     AttackPGD class, at ``steps`` steps, with a pinned noise draw."""
-    import modeldiff_p2 as ref_md
+    ref_md = _import_ref_modeldiff()
 
     model.eval()
     with torch.no_grad():

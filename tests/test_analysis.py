@@ -119,6 +119,36 @@ def test_ddv_hessian_smoke(model):
     assert len(traces) == 1 and np.isfinite(traces[0])
 
 
+def test_ddv_hessian_param_selection(model):
+    """Reference get_params_grad: with a selected layer, probe only params
+    up to AND including the first target weight containing the tap's module
+    name (pyhessian/utils.py:61-99); unmatched taps (patch conv) keep all."""
+    from diffvit_tpu.analysis.ddv_hessian import DDVHessian, params_up_to
+    from diffvit_tpu.analysis.hessian import hessian_target_names
+
+    all_names = hessian_target_names(TINY)  # 2*4+1 = 9 targets
+    assert params_up_to(all_names, "blocks.0.attn.qkv") == \
+        ["blocks.0.attn.qkv.weight"]
+    assert params_up_to(all_names, "blocks.1.mlp") == all_names[:7]
+    assert params_up_to(all_names, "head") == all_names
+    assert params_up_to(all_names, "patch_embed.proj") == all_names  # warn
+
+    x = np.random.default_rng(0).standard_normal(
+        (2, 3, 224, 224)).astype("float32")
+    adv = x + 0.01
+    # tap 2 = blocks.0.attn.qkv -> exactly one probed param
+    ddvh = DDVHessian(model, model, (x, np.array([0, 1])), adv,
+                      layer_indices=2, max_iter=2)
+    assert ddvh.param_names == ["blocks.0.attn.qkv.weight"]
+    # tap 10 = blocks.1.mlp -> everything up to blocks.1.mlp.fc1
+    ddvh = DDVHessian(model, model, (x, np.array([0, 1])), adv,
+                      layer_indices=10, max_iter=2)
+    assert ddvh.param_names == all_names[:7]
+    # no selection -> all targets
+    ddvh = DDVHessian(model, model, (x, np.array([0, 1])), adv, max_iter=2)
+    assert ddvh.param_names == all_names
+
+
 def test_top_eigenvalues_and_density(model):
     from diffvit_tpu.analysis.hessian import (eigenvalue_density,
                                               top_eigenvalues)
