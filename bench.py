@@ -100,7 +100,7 @@ def bench_vit(model, bits, path, batch, steps=20, bit_config=None):
     return _chained_throughput(run, batch, steps)
 
 
-def bench_swin(model, bits, batch, steps=10):
+def bench_swin(model, bits, batch, steps=10, bit_config=None):
     import jax
 
     from diffvit_tpu.config import QuantConfig
@@ -110,7 +110,8 @@ def bench_swin(model, bits, batch, steps=10):
     cfg = QuantConfig()
     params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
     qp = _synth_qp(lambda p, b: swin.calibrate(p, spec, cfg, b), params)
-    ip = swin_int.prepare_int(params, qp, spec, cfg, bits)
+    ip = swin_int.prepare_int(params, qp, spec, cfg,
+                              bit_config if bit_config is not None else bits)
     run = lambda x: swin_int.forward_q_int(ip, spec, cfg, x)
     return _chained_throughput(run, batch, steps)
 
@@ -245,6 +246,25 @@ def run_matrix():
     mixed = tuple(4 if i % 2 else 8 for i in range(nslots))
     add("deit_small_mixed48_int_b256", bench_vit,
         model="deit_small", bits=4, path="int", batch=256, bit_config=mixed)
+    # Swin per-layer mixed precision (the §2.6-contract extension)
+    from diffvit_tpu.models import swin as _swin
+    sslots = _swin.num_bit_slots(_swin.SWIN_SPECS["swin_tiny"])
+    smixed = tuple(4 if i % 2 else 8 for i in range(sslots))
+    add("swin_tiny_mixed48_int_b128", bench_swin,
+        model="swin_tiny", bits=4, batch=128, bit_config=smixed)
+    # batch-1 / batch-8 low-latency serving rows (latency ms = 1000*batch /
+    # img_per_sec; chained steps so the tunnel's fire-and-forget overlap
+    # cannot fake them — see _chained_throughput)
+    add("deit_small_int4_int_b1", bench_vit,
+        model="deit_small", bits=4, path="int", batch=1, steps=60)
+    add("deit_small_int4_int_b8", bench_vit,
+        model="deit_small", bits=4, path="int", batch=8, steps=40)
+    add("deit_small_int8_int_b1", bench_vit,
+        model="deit_small", bits=8, path="int", batch=1, steps=60)
+    add("swin_tiny_int8_int_b1", bench_swin,
+        model="swin_tiny", bits=8, batch=1, steps=30)
+    add("swin_tiny_int8_int_b8", bench_swin,
+        model="swin_tiny", bits=8, batch=8, steps=30)
     add("host_loader_pil_b64", bench_loader_host)
     add("host_loader_native_b64", bench_loader_host, native=True)
     add("host_loader_native_fast_b64", bench_loader_host, native=True,

@@ -9,9 +9,12 @@ DeepInversion-style jitter/flip augmentation, a cosine LR schedule, and
 per-channel clipping to the ImageNet-normalized valid range.
 
 The reference drives a *timm* pretrained model as the prior
-(utils/build_model.py); this environment has no timm/network, so the prior
-is this framework's own FP model (the architecture is identical and the
-attention maps come from the ``blocks.i.attn.probs`` taps).
+(utils/build_model.py); this environment has no timm/network, so by
+default the prior is this framework's own FP model (the architecture is
+identical and the attention maps come from the ``blocks.i.attn.probs``
+taps).  A separately-trained prior can be supplied via ``prior_params`` /
+``prior_spec`` (the CLI's --prior-checkpoint loads a local .pth/.npz),
+which closes the gap fully when weights exist on disk.
 """
 from __future__ import annotations
 
@@ -73,9 +76,15 @@ def _cosine_lr(base_lr, warmup, total):
 
 def generate_data(params, spec, *, batch_size=32, seed=0, iters_per_epoch=500,
                   epochs=2, lr=None, entropy_weight=1.0, oh_weight=1.0,
-                  tv_weight=0.05, log=None):
+                  tv_weight=0.05, log=None, prior_params=None,
+                  prior_spec=None):
     """Synthesize a calibration batch (generate_data.py:33-125).
-    Returns (batch_size, 3, 224, 224) float32 images."""
+    Returns (batch_size, 3, 224, 224) float32 images.
+    prior_params/prior_spec: use a separate pretrained prior (the
+    reference's timm model role) instead of ``params`` itself."""
+    if prior_params is not None:
+        params = prior_params
+        spec = prior_spec if prior_spec is not None else spec
     key = jax.random.PRNGKey(seed)
     k_img, k_label, k_var, key = jax.random.split(key, 4)
     img = jax.random.normal(k_img, (batch_size, 3, 224, 224))

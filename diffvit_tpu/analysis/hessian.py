@@ -28,10 +28,27 @@ import numpy as np
 from ..models import vit as vit_mod
 
 
+def _is_swin(spec):
+    return hasattr(spec, "depths")
+
+
 def hessian_target_names(spec) -> list[str]:
     """Reference parameter order (torch named_parameters filtered by
-    utils.py:79-85)."""
+    utils.py:79-85): skip norm/bias/cls_token/pos_embed/patch_embed.  For
+    Swin the same filter over swin_quant's module tree yields per block
+    [qkv, proj, fc1, fc2] + each stage's downsample reduction + head —
+    matching the Swin global_distance ordering."""
     names = []
+    if _is_swin(spec):
+        for s in range(spec.num_layers):
+            for b in range(spec.depths[s]):
+                p = f"layers.{s}.blocks.{b}"
+                names += [f"{p}.attn.qkv.weight", f"{p}.attn.proj.weight",
+                          f"{p}.mlp.fc1.weight", f"{p}.mlp.fc2.weight"]
+            if s < spec.num_layers - 1:
+                names.append(f"layers.{s}.downsample.reduction.weight")
+        names.append("head.weight")
+        return names
     for i in range(spec.depth):
         names += [f"blocks.{i}.attn.qkv.weight", f"blocks.{i}.attn.proj.weight",
                   f"blocks.{i}.mlp.fc1.weight", f"blocks.{i}.mlp.fc2.weight"]
@@ -39,12 +56,22 @@ def hessian_target_names(spec) -> list[str]:
     return names
 
 
+_SUB = {"attn": {"qkv": "qkv", "proj": "proj"},
+        "mlp": {"fc1": "fc1", "fc2": "fc2"}}
+
+
 def _get_leaf(params, name):
     if name == "head.weight":
         return params["head"]["w"]
-    _, idx, mod, sub, _ = name.split(".")
-    return params["blocks"][int(idx)][{"attn": {"qkv": "qkv", "proj": "proj"},
-                                       "mlp": {"fc1": "fc1", "fc2": "fc2"}}[mod][sub]]["w"]
+    parts = name.split(".")
+    if parts[0] == "layers":  # swin
+        s = int(parts[1])
+        if parts[2] == "downsample":
+            return params["layers"][s]["downsample"]["reduction"]["w"]
+        b = int(parts[3])
+        return params["layers"][s]["blocks"][b][_SUB[parts[4]][parts[5]]]["w"]
+    _, idx, mod, sub, _ = parts
+    return params["blocks"][int(idx)][_SUB[mod][sub]]["w"]
 
 
 def _set_leaf(params, name, value):
@@ -52,13 +79,38 @@ def _set_leaf(params, name, value):
     if name == "head.weight":
         params["head"] = dict(params["head"], w=value)
         return params
-    _, idx, mod, sub, _ = name.split(".")
-    key = {"attn": {"qkv": "qkv", "proj": "proj"},
-           "mlp": {"fc1": "fc1", "fc2": "fc2"}}[mod][sub]
+    parts = name.split(".")
+    if parts[0] == "layers":  # swin
+        s = int(parts[1])
+        layers = list(params["layers"])
+        stage = dict(layers[s])
+        if parts[2] == "downsample":
+            stage["downsample"] = dict(
+                stage["downsample"],
+                reduction=dict(stage["downsample"]["reduction"], w=value))
+        else:
+            b = int(parts[3])
+            key = _SUB[parts[4]][parts[5]]
+            blocks = list(stage["blocks"])
+            blocks[b] = dict(blocks[b], **{key: dict(blocks[b][key], w=value)})
+            stage["blocks"] = blocks
+        layers[s] = stage
+        params["layers"] = layers
+        return params
+    _, idx, mod, sub, _ = parts
+    key = _SUB[mod][sub]
     blocks = list(params["blocks"])
     blocks[int(idx)] = dict(blocks[int(idx)], **{key: dict(blocks[int(idx)][key], w=value)})
     params["blocks"] = blocks
     return params
+
+
+def _fp_forward(params, spec, inputs):
+    if _is_swin(spec):
+        from ..models import swin as swin_mod
+
+        return swin_mod.forward_fp(params, spec, inputs)
+    return vit_mod.forward_fp(params, spec, inputs)
 
 
 def _ce_loss(logits, targets):
@@ -72,7 +124,7 @@ def make_block_hvp(params, spec, inputs, targets, name):
 
     def loss_w(w):
         p = _set_leaf(params, name, w)
-        return _ce_loss(vit_mod.forward_fp(p, spec, inputs), targets)
+        return _ce_loss(_fp_forward(p, spec, inputs), targets)
 
     @jax.jit
     def hvp(w, v):
@@ -198,7 +250,7 @@ def _multi_leaf_fns(params, spec, inputs, targets, names):
         return p
 
     def loss_ws(ws):
-        return _ce_loss(vit_mod.forward_fp(set_all(ws), spec, inputs), targets)
+        return _ce_loss(_fp_forward(set_all(ws), spec, inputs), targets)
 
     ws0 = {n: _get_leaf(params, n) for n in names}
 

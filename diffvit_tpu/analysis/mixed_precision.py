@@ -36,15 +36,27 @@ def size_constraint(flops, factor=1.1):
     return factor * sum(f * 4 for f in flops)
 
 
-def sample_candidates(flops, rng, max_candidates=51, factor=1.1):
-    """test_quant.py:264-283.  Layout: [8] + each random bit doubled +
-    [random] — consecutive (qkv,proj) / (fc1,fc2) pairs share a bit."""
+def sample_candidates(flops, rng, max_candidates=51, factor=1.1,
+                      groups=None):
+    """test_quant.py:264-283.  Default layout: [8] + each random bit
+    doubled + [random] — consecutive (qkv,proj) / (fc1,fc2) pairs share a
+    bit (the ViT slot structure).  ``groups``: explicit slot-index groups
+    drawing one bit each (slot 0 stays pinned to 8) — used by the Swin
+    extension, whose per-stage reduction slots break the pair doubling."""
     constraint = size_constraint(flops, factor)
     bit_list = []
     for _ in range(2 ** min(len(flops) - 1, 30)):
-        inner = [rng.choice(BIT_CHOICE) for _ in range(len(flops) // 2 - 1)]
-        cand = [max(BIT_CHOICE)] + [b for b in inner for _ in range(2)] \
-            + [rng.choice(BIT_CHOICE)]
+        if groups is None:
+            inner = [rng.choice(BIT_CHOICE)
+                     for _ in range(len(flops) // 2 - 1)]
+            cand = [max(BIT_CHOICE)] + [b for b in inner for _ in range(2)] \
+                + [rng.choice(BIT_CHOICE)]
+        else:
+            cand = [max(BIT_CHOICE)] * len(flops)
+            for g in groups:
+                b = rng.choice(BIT_CHOICE)
+                for slot in g:
+                    cand[slot] = b
         if model_size(flops, cand) <= constraint and cand not in bit_list:
             bit_list.append(cand)
         if len(bit_list) > max_candidates - 1:

@@ -107,8 +107,12 @@ class QuantizedViT:
         if self.is_swin:
             from .models import swin_int as int_mod
 
-            bit = int(bit_config) if bit_config is not None \
-                else self.cfg.bit_w.bits
+            if bit_config is None:
+                bit = self.cfg.bit_w.bits
+            elif isinstance(bit_config, int):
+                bit = int(bit_config)
+            else:  # per-slot mixed precision on the integer path
+                bit = tuple(int(b) for b in bit_config)
             key = ("int", bit)
             if key not in self._jit_cache:
                 ip = int_mod.prepare_int(self.params, self.qparams,
@@ -161,8 +165,12 @@ class QuantizedViT:
             if quant and bit_config is None:
                 bit_config = self.cfg.bit_w.bits
             if bit_config is not None and not isinstance(bit_config, int):
-                bit_config = int(bit_config[0]) if hasattr(bit_config, "__len__") \
-                    else int(bit_config)
+                # per-slot Swin bit_config (the mixed-precision extension);
+                # a length-1 sequence still means the uniform bit
+                bit_config = tuple(int(b) for b in bit_config) \
+                    if hasattr(bit_config, "__len__") else int(bit_config)
+                if isinstance(bit_config, tuple) and len(bit_config) == 1:
+                    bit_config = bit_config[0]
         else:
             if quant and bit_config is None:
                 bit_config = (self.cfg.bit_w.bits,) * vit_mod.num_bit_slots(self.spec)
@@ -180,15 +188,15 @@ class QuantizedViT:
         embarrassingly-parallel evals ride the mesh instead of looping
         (SURVEY.md §2.7).  bits_batch: (ncand, 4*depth+2) ints in {4,8}.
         Returns (ncand, B, classes) logits."""
-        if self.is_swin:
-            raise NotImplementedError("per-layer bit search is ViT/DeiT only")
         if self.qparams is None:
             raise RuntimeError("model not calibrated; call .calibrate() first")
         key = ("bits_vmap",)
         if key not in self._jit_cache:
+            mod = self._mod  # swin.forward_q_bits mirrors vit's contract
+
             def f(p, qp, xin, bits):
-                return vit_mod.forward_q_bits(p, qp, self.spec, self.cfg,
-                                              xin, bits)
+                return mod.forward_q_bits(p, qp, self.spec, self.cfg,
+                                          xin, bits)
 
             self._jit_cache[key] = jax.jit(
                 jax.vmap(f, in_axes=(None, None, None, 0)))

@@ -15,9 +15,13 @@ Divergences from the reference — the *intended* behavior per SURVEY.md §2.3:
 * PatchMerging passes ``in_scale_expand=4`` to the integer LayerNorm as
   FQ-ViT intended; the reference's positional-arg slip lands the 4 on
   ``out_quantizer_scale`` instead (⚠️2, swin_quant.py:463).
-* There is no bit_config plumbing (the reference Swin forward takes none,
-  swin_quant.py:813-817); quantized eval selects one uniform weight bit via
-  the per-bit scale dictionaries.
+* The reference Swin forward takes no bit_config (swin_quant.py:813-817)
+  and supports only one uniform weight bit.  This rebuild EXTENDS the §2.6
+  contract to Swin: forward_q also accepts a per-slot bit_config ([patch] +
+  per block [qkv, proj, fc1, fc2] + per-stage reduction + [head]) with
+  {4, 8, -1} semantics, and forward_q_bits gives the bit-traced
+  one-compile search path — per-layer mixed precision for Swin is a
+  capability the reference lacks.
 """
 from __future__ import annotations
 
@@ -29,8 +33,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import QuantConfig
+from ..ops.bit_types import BIT_TYPE_DICT
 from ..ops.int_layernorm import float_layernorm, int_layernorm
 from ..ops.lis import log_int_softmax
+from ..ops.quant import fake_quant
 from .vit import (_calib_act_site, _calib_weight_site, _fq,
                   _observe_act_site, _q_weight)
 
@@ -220,10 +226,30 @@ def flops_list(spec: SwinSpec):
     return fl
 
 
+def bit_slot_groups(spec: SwinSpec):
+    """Slot-index groups for the mixed-precision candidate sampler: within
+    a block (qkv, proj) share a bit and (fc1, fc2) share a bit (the
+    reference's ViT pair-doubling, test_quant.py:264-283, carried to the
+    Swin extension); each downsample reduction and the head draw their own
+    bit.  Slot 0 (patch conv) stays pinned to 8 by the sampler."""
+    groups = []
+    slot = 1
+    for s in range(spec.num_layers):
+        for _ in range(spec.depths[s]):
+            groups.append([slot, slot + 1])
+            groups.append([slot + 2, slot + 3])
+            slot += 4
+        if s < spec.num_layers - 1:
+            groups.append([slot])
+            slot += 1
+    groups.append([slot])  # head
+    return groups
+
+
 def num_bit_slots(spec: SwinSpec) -> int:
     """Quantized-linear count (patch conv + 4 per block + per-stage
-    reduction + head) — Swin has no bit_config in the reference; this exists
-    for FLOPs/accounting symmetry."""
+    reduction + head) = the length of the Swin bit_config / flops_list /
+    (global_distance + 1)."""
     return 1 + 4 * sum(spec.depths) + (spec.num_layers - 1) + 1
 
 
@@ -492,11 +518,49 @@ def calibrate_batches(params, spec: SwinSpec, cfg: QuantConfig, batches):
 # Quantized forward
 # ---------------------------------------------------------------------------
 
+def normalize_bit_config(spec: SwinSpec, bit):
+    """Swin bit_config: an int (uniform, the reference's only mode,
+    swin_quant.py:813-817) or a per-slot list over the §2.6-style contract
+    GENERALIZED to Swin — [patch conv] + per block [qkv, proj, fc1, fc2] +
+    per-stage downsample reduction + [head], flops_list order.  Values
+    4/8 select the calibrated per-bit scales; -1 runs the slot in float
+    and flips the LN feeding it back to float mode (vit_fquant.py:429-430
+    semantics carried over)."""
+    n = num_bit_slots(spec)
+    if bit is None or isinstance(bit, (int, np.integer)):
+        b = int(bit) if bit is not None else None
+        return tuple([b] * n) if b is not None else None
+    bc = tuple(int(v) for v in bit)
+    assert len(bc) == n, f"Swin bit_config needs {n} entries, got {len(bc)}"
+    return bc
+
+
 def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
               taps=None):
-    """Fully-quantized Swin inference with uniform weight bit ``bit``
-    (default cfg.bit_w.bits)."""
-    bit = int(bit) if bit is not None else cfg.bit_w.bits
+    """Fully-quantized Swin inference.  ``bit``: uniform weight bit
+    (reference behavior) or a per-slot bit_config (see
+    normalize_bit_config) — the per-layer mixed-precision extension the
+    reference lacks for Swin."""
+    bc = normalize_bit_config(spec, bit if bit is not None
+                              else cfg.bit_w.bits)
+
+    def wfn(path, w, slot):
+        if bc[slot] == -1:
+            return w
+        return _q_weight(qp, path, w, bc[slot])
+
+    def lnfloat(slot):
+        return bc[slot] == -1
+
+    return _forward_q_body(params, qp, spec, cfg, x, wfn, lnfloat, taps)
+
+
+def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
+                    lnfloat, taps=None):
+    """Shared quantized-forward body: ``wfn(qp_path, w, slot)`` supplies
+    the (fake-quantized / float / bit-traced) weight per slot;
+    ``lnfloat(slot)`` flips the LN feeding that slot to float (static
+    mode only)."""
     bt_a = cfg.bit_a
     eps = spec.ln_eps
 
@@ -504,8 +568,8 @@ def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
         if taps is not None:
             taps.append((name, t))
 
-    def norm(ln, x_, in_path, out_path, expand=1):
-        if not cfg.int_norm:
+    def norm(ln, x_, in_path, out_path, consumer_slot, expand=1):
+        if not cfg.int_norm or lnfloat(consumer_slot):
             return float_layernorm(x_, ln["w"], ln["b"], eps)
         return int_layernorm(x_, ln["w"], ln["b"], qp[f"{in_path}.scale"],
                              qp[f"{out_path}.scale"], in_scale_expand=expand)
@@ -514,34 +578,36 @@ def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
         x = _fq(qp, "qact_input", x, bt_a)
     pe = params["patch_embed"]
     patches = swin_patchify(x, spec)
-    h = patches @ _q_weight(qp, "patch.w", pe["proj"]["w"], bit).T \
-        + pe["proj"]["b"]
+    h = patches @ wfn("patch.w", pe["proj"]["w"], 0).T + pe["proj"]["b"]
     tap("patch_embed.proj", h)
     if pe["norm"] is not None:
         h = _fq(qp, "patch.qact_bn", h, bt_a)
-        h = norm(pe["norm"], h, "patch.qact_bn", "patch.qact")
+        h = norm(pe["norm"], h, "patch.qact_bn", "patch.qact", 0)
     h = _fq(qp, "patch.qact", h, bt_a)
     last_q = "patch.qact"
+    slot = 1  # 0 was the patch conv; flops_list order from here
 
     for s, stage in enumerate(params["layers"]):
         for bi, blk in enumerate(stage["blocks"]):
             p = f"layers.{s}.blocks.{bi}"
+            s_qkv, s_proj, s_fc1, s_fc2 = slot, slot + 1, slot + 2, slot + 3
+            slot += 4
             geom = block_geometry(spec, s, bi)
             res, ws, shift, mask = geom
             shortcut = h
-            y = norm(blk["norm1"], h, last_q, f"{p}.qact1")
+            y = norm(blk["norm1"], h, last_q, f"{p}.qact1", s_qkv)
             y = _fq(qp, f"{p}.qact1", y, bt_a)
             yw = _windows(y, res, ws, shift)
 
-            def qkv_fn(t):
-                out = t @ _q_weight(qp, f"{p}.attn.qkv.w", blk["qkv"]["w"],
-                                    bit).T + blk["qkv"]["b"]
+            def qkv_fn(t, p=p, blk=blk, s_qkv=s_qkv):
+                out = t @ wfn(f"{p}.attn.qkv.w", blk["qkv"]["w"],
+                              s_qkv).T + blk["qkv"]["b"]
                 tap(f"{p}.attn.qkv", out)
                 return _fq(qp, f"{p}.attn.qact1", out, bt_a)
 
-            def proj_fn(t):
-                out = t @ _q_weight(qp, f"{p}.attn.proj.w", blk["proj"]["w"],
-                                    bit).T + blk["proj"]["b"]
+            def proj_fn(t, p=p, blk=blk, s_proj=s_proj):
+                out = t @ wfn(f"{p}.attn.proj.w", blk["proj"]["w"],
+                              s_proj).T + blk["proj"]["b"]
                 tap(f"{p}.attn.proj", out)
                 return out
 
@@ -563,14 +629,14 @@ def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
             h = shortcut + _unwindows(aw, res, ws, shift, h.shape[0])
             h = _fq(qp, f"{p}.qact2", h, bt_a)
 
-            y = norm(blk["norm2"], h, f"{p}.qact2", f"{p}.qact3")
+            y = norm(blk["norm2"], h, f"{p}.qact2", f"{p}.qact3", s_fc1)
             y = _fq(qp, f"{p}.qact3", y, bt_a)
-            y = y @ _q_weight(qp, f"{p}.mlp.fc1.w", blk["fc1"]["w"], bit).T \
+            y = y @ wfn(f"{p}.mlp.fc1.w", blk["fc1"]["w"], s_fc1).T \
                 + blk["fc1"]["b"]
             tap(f"{p}.mlp.fc1", y)
             y = jax.nn.gelu(y, approximate=False)
             y = _fq(qp, f"{p}.mlp.qact1", y, bt_a)
-            y = y @ _q_weight(qp, f"{p}.mlp.fc2.w", blk["fc2"]["w"], bit).T \
+            y = y @ wfn(f"{p}.mlp.fc2.w", blk["fc2"]["w"], s_fc2).T \
                 + blk["fc2"]["b"]
             tap(f"{p}.mlp.fc2", y)
             y = _fq(qp, f"{p}.mlp.qact2", y, bt_a)
@@ -581,24 +647,46 @@ def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
         if stage["downsample"] is not None:
             ds = stage["downsample"]
             p = f"layers.{s}.downsample"
+            s_red = slot
+            slot += 1
             h = _merge_patches(h, spec.stage_resolution(s))
             # in_scale replicated 4x over the concat (⚠️2 fix: expand=4)
-            h = norm(ds["norm"], h, last_q, f"{p}.qact1", expand=4)
+            h = norm(ds["norm"], h, last_q, f"{p}.qact1", s_red, expand=4)
             h = _fq(qp, f"{p}.qact1", h, bt_a)
-            h = h @ _q_weight(qp, f"{p}.reduction.w", ds["reduction"]["w"],
-                              bit).T
+            h = h @ wfn(f"{p}.reduction.w", ds["reduction"]["w"], s_red).T
             tap(f"{p}.reduction", h)
             h = _fq(qp, f"{p}.qact2", h, bt_a)
             last_q = f"{p}.qact2"
 
-    h = norm(params["norm"], h, last_q, "qact2")
+    h = norm(params["norm"], h, last_q, "qact2", slot)
     h = _fq(qp, "qact2", h, bt_a)
     h = jnp.mean(h, axis=1)
     h = _fq(qp, "qact3", h, bt_a)
-    logits = h @ _q_weight(qp, "head.w", params["head"]["w"], bit).T \
+    logits = h @ wfn("head.w", params["head"]["w"], slot).T \
         + params["head"]["b"]
     tap("head", logits)
     return _fq(qp, "act_out", logits, bt_a)
+
+
+def forward_q_bits(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bits):
+    """Bit-TRACED quantized Swin forward for the mixed-precision search:
+    ``bits`` is a (num_bit_slots,) int32 array with entries in {4, 8}; each
+    weight site selects between its calibrated int4/int8 fake-quant
+    variants, so ONE compilation serves every candidate (mirrors
+    vit.forward_q_bits; the Swin extension the reference lacks)."""
+    bt4, bt8 = BIT_TYPE_DICT["int4"], BIT_TYPE_DICT["int8"]
+    bits = jnp.asarray(bits, jnp.int32)
+
+    def wfn(path, w, slot):
+        s4 = qp[f"{path}.int4.scale"]
+        s8 = qp[f"{path}.int8.scale"]
+        s4 = s4[:, None] if s4.ndim == 1 and s4.shape[0] == w.shape[0] else s4
+        s8 = s8[:, None] if s8.ndim == 1 and s8.shape[0] == w.shape[0] else s8
+        return jnp.where(bits[slot] == 4, fake_quant(w, s4, 0.0, bt4),
+                         fake_quant(w, s8, 0.0, bt8))
+
+    return _forward_q_body(params, qp, spec, cfg, x, wfn,
+                           lambda slot: False, None)
 
 
 # ---------------------------------------------------------------------------
@@ -610,7 +698,13 @@ def load_swin_torch_checkpoint(path, spec: SwinSpec):
 
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
     sd = ckpt.get("model", ckpt) if isinstance(ckpt, dict) else ckpt
+    return convert_swin_torch_state_dict(sd, spec)
 
+
+def convert_swin_torch_state_dict(sd, spec: SwinSpec):
+    """Swin torch state dict (swin_quant.py module tree) -> diffvit_tpu
+    param pytree (init_swin_params layout); patch conv (C,3,ps,ps)
+    flattens to (C, 3*ps*ps) matching swin_patchify."""
     def g(k):
         v = sd[k]
         return jnp.asarray(np.asarray(v.detach().cpu().numpy()

@@ -17,47 +17,58 @@ from ..ops.int_layernorm import float_layernorm, int_layernorm
 from ..ops.lis import log_int_softmax
 from ..ops.quant import fake_quant
 from .swin import (SwinSpec, _merge_patches, _unwindows, _windows,
-                   block_geometry, relative_position_index, swin_patchify)
+                   block_geometry, normalize_bit_config,
+                   relative_position_index, swin_patchify)
 from .vit_int import _int_dot, _ln_int8, _quant_w, _requant_i8
 
 
 def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
-    """Bake the calibrated Swin into integer weights + requant scales for
-    uniform weight bit ``bit``."""
-    bit = int(bit) if bit is not None else cfg.bit_w.bits
+    """Bake the calibrated Swin into integer weights + requant scales.
+    ``bit``: uniform weight bit or a per-slot {4,8} bit_config (the Swin
+    mixed-precision extension; -1 float slots are a fake-quant-path-only
+    feature)."""
+    bc = normalize_bit_config(spec, bit if bit is not None
+                              else cfg.bit_w.bits)
+    assert all(b in (4, 8) for b in bc), \
+        "integer path supports {4,8} slots (use forward_q for -1 floats)"
 
-    def w_site(path, lin):
-        sw = qp[f"{path}.scale"]
-        site = {"w_int": _quant_w(lin["w"], sw, bit).T, "sw": sw}
+    def w_site(path, lin, slot):
+        b = bc[slot]
+        sw = qp[f"{path}.int{b}.scale"]
+        # per-site bit drives the bf16-exactness bound in int_linear
+        site = {"w_int": _quant_w(lin["w"], sw, b).T, "sw": sw, "bit": b}
         site["b"] = lin.get("b")
         return site
 
-    ip = {"bit": bit, "layers": [], "qp": qp}
+    ip = {"bit": bc[0], "layers": [], "qp": qp}
     pe = params["patch_embed"]
-    ip["patch"] = w_site(f"patch.w.int{bit}", pe["proj"])
+    ip["patch"] = w_site("patch.w", pe["proj"], 0)
     ip["patch_norm"] = pe["norm"]
+    slot = 1
     for s, stage in enumerate(params["layers"]):
         st = {"blocks": [], "downsample": None}
         for bi, blk in enumerate(stage["blocks"]):
             p = f"layers.{s}.blocks.{bi}"
             st["blocks"].append({
                 "norm1": blk["norm1"], "norm2": blk["norm2"],
-                "qkv": w_site(f"{p}.attn.qkv.w.int{bit}", blk["qkv"]),
-                "proj": w_site(f"{p}.attn.proj.w.int{bit}", blk["proj"]),
-                "fc1": w_site(f"{p}.mlp.fc1.w.int{bit}", blk["fc1"]),
-                "fc2": w_site(f"{p}.mlp.fc2.w.int{bit}", blk["fc2"]),
+                "qkv": w_site(f"{p}.attn.qkv.w", blk["qkv"], slot),
+                "proj": w_site(f"{p}.attn.proj.w", blk["proj"], slot + 1),
+                "fc1": w_site(f"{p}.mlp.fc1.w", blk["fc1"], slot + 2),
+                "fc2": w_site(f"{p}.mlp.fc2.w", blk["fc2"], slot + 3),
                 "rel_bias_table": blk["rel_bias_table"],
             })
+            slot += 4
         if stage["downsample"] is not None:
             ds = stage["downsample"]
             st["downsample"] = {
                 "norm": ds["norm"],
-                "reduction": w_site(f"layers.{s}.downsample.reduction.w.int{bit}",
-                                    ds["reduction"]),
+                "reduction": w_site(f"layers.{s}.downsample.reduction.w",
+                                    ds["reduction"], slot),
             }
+            slot += 1
         ip["layers"].append(st)
     ip["norm"] = params["norm"]
-    ip["head"] = w_site(f"head.w.int{bit}", params["head"])
+    ip["head"] = w_site("head.w", params["head"], slot)
 
     # static symmetric-activations flag for the codes-carrying residual
     # path (see models/vit_int.prepare_int): True iff every activation
@@ -89,16 +100,16 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
     def fq(path, t):
         return fake_quant(t, s(path), qp[f"{path}.zp"], bt_a)
 
-    wbound = 2.0 ** (ip["bit"] - 1)
-
     def int_linear(site, x_i8, in_scale):
         # XLA lowers int8 dot_generals poorly on this backend (~10 TOP/s vs
         # 228 in Mosaic / ~114 for bf16 — docs/PERF_ANALYSIS.md).  int8
         # codes are exact in bf16 and the int32 accumulation is exactly
         # reproduced by f32 accumulation while every partial sum stays
         # below 2^24, i.e. when K * 128 * 2^(bit-1) < 2^24 — true for all
-        # Swin shapes at int4 and all but stage-4 fc2 at int8.
+        # Swin shapes at int4 and all but stage-4 fc2 at int8.  The bound
+        # uses the SITE's bit (per-slot under mixed precision).
         k = site["w_int"].shape[0]
+        wbound = 2.0 ** (site["bit"] - 1)
         if k * 128.0 * wbound < 2.0**24:
             acc = jax.lax.dot_general(
                 x_i8.astype(jnp.bfloat16),

@@ -43,6 +43,11 @@ def build_parser():
     p.add_argument("--seed", default=0, type=int)
     p.add_argument("--checkpoint", default=None,
                    help="local .pth/.npz weights (no-network environment)")
+    p.add_argument("--prior-checkpoint", default=None,
+                   help="mode-2 PSAQ-ViT prior weights (.pth/.npz) — the "
+                        "reference's timm-pretrained prior role "
+                        "(utils/build_model.py); defaults to the model's "
+                        "own FP weights when absent")
     p.add_argument("--dp", default=None, type=int,
                    help="data-parallel mesh size (defaults to all devices "
                         "when >1 device is visible; 1 disables)")
@@ -175,10 +180,18 @@ def main(argv=None):
         if args.mode == 2:
             from diffvit_tpu.analysis.datagen import generate_data
 
+            prior_params = None
+            if args.prior_checkpoint:
+                from diffvit_tpu.models.registry import build_params
+
+                _, prior_params = build_params(args.model,
+                                               args.prior_checkpoint,
+                                               args.seed)
+                print(f"PSAQ prior: {args.prior_checkpoint}")
             print("Generating data...")
             calib = generate_data(model.params, model.spec,
                                   batch_size=args.calib_batchsize,
-                                  seed=args.seed)
+                                  seed=args.seed, prior_params=prior_params)
             print("Calibrating with generated data...")
         elif args.mode == 1:
             print("Calibrating with Gaussian noise...")
@@ -207,7 +220,13 @@ def main(argv=None):
         assert len(flops) - 1 == len(model.global_distance) == len(mean_hessian)
         print("Pareto Frontier.......")
         rng = random.Random(args.seed)
-        bit_list = mp.sample_candidates(flops, rng, factor=args.size_factor)
+        groups = None
+        if model.is_swin:
+            from diffvit_tpu.models.swin import bit_slot_groups
+
+            groups = bit_slot_groups(model.spec)
+        bit_list = mp.sample_candidates(flops, rng, factor=args.size_factor,
+                                        groups=groups)
         omega_list = mp.omega_rank(bit_list, flops, mean_hessian,
                                    model.global_distance)
         print("Hessien-Based Validating...")
@@ -215,10 +234,11 @@ def main(argv=None):
             evaluate(omega_list[i][0])
         print("Start Evolutionary.......")
         # fake-quant search runs every candidate of a generation in ONE
-        # vmapped, dp-sharded validation pass (engine.validate_bits);
+        # vmapped, dp-sharded validation pass (engine.validate_bits; works
+        # for ViT/DeiT AND the Swin mixed-precision extension);
         # --int-path search keeps the per-candidate integer executables
         evaluate_batch = None
-        if not args.int_path and not model.is_swin:
+        if not args.int_path:
             evaluate_batch = lambda cands: validate_bits(
                 model, val_loader, cands)
         result = mp.evolutionary_search(
