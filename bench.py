@@ -117,13 +117,16 @@ def bench_swin(model, bits, batch, steps=10, bit_config=None):
 
 
 def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
-                   native=False):
+                   native=False, emit="f32"):
     """Host-pipeline-inclusive eval: JPEG decode -> resize/crop/normalize
     -> H2D -> integer forward.  ``native=False``: PIL decode + numpy
     transform on a thread pool; ``native=True``: the whole batch in one C
     call (libjpeg + bit-exact-Pillow resample, data/native_decode.py) —
-    float-identical outputs.  This host has ONE CPU core, so both numbers
-    are honestly host-bound — reported as their own rows, not hidden."""
+    float-identical outputs.  ``emit="u8"``: ship the uint8 crop and
+    normalize on device (4x less H2D traffic through the tunnel,
+    bit-identical model input — data/imagenet.device_normalize).  This
+    host has ONE CPU core, so both numbers are honestly host-bound —
+    reported as their own rows, not hidden."""
     import tempfile
 
     import jax
@@ -131,7 +134,7 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
 
     from diffvit_tpu.config import QuantConfig
     from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, \
-        NativeJpegLoader, build_transform
+        NativeJpegLoader, build_transform, device_normalize
     from diffvit_tpu.data.synthetic import make_fake_imagefolder
     from diffvit_tpu.models import vit, vit_int
 
@@ -141,19 +144,22 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
     qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
     ip = vit_int.prepare_int(params, qp, spec, cfg,
                              (bits,) * vit.num_bit_slots(spec))
-    fwd = jax.jit(lambda x: vit_int.forward_q_int(ip, spec, cfg, x))
+    fwd = jax.jit(lambda x: vit_int.forward_q_int(ip, spec, cfg,
+                                                  device_normalize(x)))
 
     with tempfile.TemporaryDirectory() as root:
         make_fake_imagefolder(root, num_classes=8,
                               per_class=n_images // 8, size=256)
         ds = ImageFolder(root, build_transform())
         if native:
-            loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True)
+            loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True,
+                                      emit=emit)
         else:
             loader = DataLoader(ds, batch_size=batch, num_workers=8,
                                 drop_last=True)
         # warm the compile outside the timed loop
-        fwd(jnp.zeros((batch, 3, 224, 224), jnp.float32)).block_until_ready()
+        warm_dtype = jnp.uint8 if emit == "u8" else jnp.float32
+        fwd(jnp.zeros((batch, 3, 224, 224), warm_dtype)).block_until_ready()
         # eval batches are independent: dispatch asynchronously and block
         # once at the end, exactly like a production eval loop — per-call
         # blocking would serialize on the axon tunnel's ~0.7 s dispatch
@@ -279,6 +285,10 @@ def run_matrix():
     add("pipeline_e2e_jpeg_deit_small_int4_b64", bench_pipeline)
     add("pipeline_e2e_jpeg_native_deit_small_int4_b64", bench_pipeline,
         native=True)
+    # uint8 wire format: 4x less H2D (9.6 MB vs 38 MB per b64 batch),
+    # device-side LUT normalize, bit-identical model input
+    add("pipeline_e2e_jpeg_native_u8_deit_small_int4_b64", bench_pipeline,
+        native=True, emit="u8")
 
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC}

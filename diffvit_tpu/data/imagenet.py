@@ -18,11 +18,48 @@ from PIL import Image
 IMG_EXTENSIONS = (".jpg", ".jpeg", ".png", ".ppm", ".bmp", ".webp")
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def device_normalize(x, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """On-device ToTensor+Normalize for uint8 NCHW (or CHW) batches.
+
+    The eval pipeline's natural wire format is the uint8 crop (the value
+    set right after Resize+CenterCrop, before ToTensor): shipping it
+    host->device moves 4x fewer bytes than f32 pixels.  Bit-exactness vs
+    the host path matters (a 1-ulp input drift flips ~1 qact_input code
+    per ~2^23 elements), and computing (x/255 - mean)/std under jit is NOT
+    exact — XLA's algebraic simplifier rewrites the constant divisions
+    into reciprocal multiplies (measured: 1-2 ulp).  Since the uint8
+    domain has only 256 values/channel, we instead gather from a
+    host-precomputed f32 LUT (the same 768 values native/preproc.cpp
+    computes) — exact by construction.  Non-uint8 inputs pass through
+    untouched, so jitted forwards can prepend this unconditionally (dtype
+    is a static trace property)."""
+    import jax.numpy as jnp
+
+    if x.dtype != jnp.uint8:
+        return x
+    v = np.arange(256, dtype=np.float32)
+    mean32 = np.asarray(mean, np.float32).reshape(-1)
+    std32 = np.asarray(std, np.float32).reshape(-1)
+    lut = np.stack([(v / np.float32(255.0) - m) / s
+                    for m, s in zip(mean32, std32)])  # (3, 256)
+    tb = jnp.asarray(lut)
+    xi = x.astype(jnp.int32)
+    if x.ndim == 3:
+        return jnp.stack([tb[c][xi[c]] for c in range(3)], 0)
+    return jnp.stack([tb[c][xi[:, c]] for c in range(3)], 1)
+
+
 def build_transform(input_size=224, interpolation="bicubic",
                     mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
-                    crop_pct=0.875):
+                    crop_pct=0.875, normalize=True):
     """Returns fn(PIL.Image) -> float32 CHW array, matching
-    test_quant.py:504-534 / torchvision Resize+CenterCrop+ToTensor+Normalize."""
+    test_quant.py:504-534 / torchvision Resize+CenterCrop+ToTensor+Normalize.
+    ``normalize=False`` stops at the uint8 CHW crop (the host->device wire
+    format; pair with device_normalize)."""
     size = int(math.floor(input_size / crop_pct))
     resample = {
         "bicubic": Image.BICUBIC,
@@ -47,9 +84,10 @@ def build_transform(input_size=224, interpolation="bicubic",
         left = int(round((ow - input_size) / 2.0))
         top = int(round((oh - input_size) / 2.0))
         img = img.crop((left, top, left + input_size, top + input_size))
-        arr = np.asarray(img, np.uint8).astype(np.float32) / 255.0
-        arr = arr.transpose(2, 0, 1)  # HWC -> CHW
-        return (arr - mean) / std
+        arr = np.asarray(img, np.uint8).transpose(2, 0, 1)  # HWC -> CHW
+        if not normalize:
+            return arr
+        return (arr.astype(np.float32) / 255.0 - mean) / std
 
     # advertised so consumers (NativeJpegLoader) can derive/validate their
     # preprocessing against the dataset's transform instead of trusting
@@ -57,7 +95,7 @@ def build_transform(input_size=224, interpolation="bicubic",
     transform.params = dict(input_size=input_size, interpolation=interpolation,
                             mean=tuple(np.asarray(mean).reshape(-1).tolist()),
                             std=tuple(np.asarray(std).reshape(-1).tolist()),
-                            crop_pct=crop_pct)
+                            crop_pct=crop_pct, normalize=normalize)
     return transform
 
 
@@ -155,7 +193,7 @@ class NativeJpegLoader:
 
     def __init__(self, dataset: ImageFolder, batch_size, drop_last=False,
                  input_size=None, crop_pct=None, mean=None, std=None,
-                 fast=False):
+                 fast=False, emit="f32"):
         from . import native_decode
 
         native_decode.load_library()  # build/verify up front
@@ -168,6 +206,12 @@ class NativeJpegLoader:
         # PIL fallback items in a mixed batch stay exact); keep the default
         # for parity runs
         self.fast = bool(fast)
+        # emit="u8": yield the uint8 CHW crop (pre-normalize) — the 4x-
+        # smaller host->device wire format; the consumer applies
+        # device_normalize (bit-exact vs f32 emit, tests/test_u8_pipeline.py)
+        if emit not in ("f32", "u8"):
+            raise ValueError(f"emit must be 'f32' or 'u8', got {emit!r}")
+        self.emit = emit
         # Derive preprocessing from the dataset's transform when it
         # advertises its params (build_transform does), so native items and
         # PIL-fallback items in one batch can never be preprocessed
@@ -193,28 +237,57 @@ class NativeJpegLoader:
             raise ValueError(
                 "the native pipeline implements bicubic resampling only; "
                 f"dataset transform uses {tf_params['interpolation']!r}")
+        if emit == "f32" and tf_params is not None \
+                and not tf_params.get("normalize", True):
+            raise ValueError(
+                "emit='f32' normalizes, but the dataset transform has "
+                "normalize=False — PIL-fallback items would stay uint8; "
+                "use emit='u8' with an un-normalized consumer instead")
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else math.ceil(
             n / self.batch_size)
 
+    def _pil_fallback(self, idx):
+        if self.emit == "f32":
+            return self.dataset[idx][0]
+        # u8 emit: the dataset transform normalizes; rebuild the same
+        # geometry stopping at the uint8 crop
+        if not hasattr(self, "_u8_transform"):
+            self._u8_transform = build_transform(
+                input_size=self.kw["input_size"], crop_pct=self.kw["crop_pct"],
+                normalize=False)
+        path = self.dataset.samples[idx][0]
+        with Image.open(path) as img:
+            return self._u8_transform(img)
+
     def _make(self, idxs):
         samples = [self.dataset.samples[i] for i in idxs]
         labels = np.asarray([s[1] for s in samples], np.int32)
         paths = [s[0] for s in samples]
+        if self.emit == "u8":
+            geo = dict(input_size=self.kw["input_size"],
+                       crop_pct=self.kw["crop_pct"])
+            batch_fn = lambda ps: self._nd.decode_preprocess_batch_u8(
+                ps, fast=self.fast, **geo)
+            item_fn = lambda p: self._nd.decode_preprocess_u8(
+                p, fast=self.fast, **geo)
+        else:
+            batch_fn = lambda ps: self._nd.decode_preprocess_batch(
+                ps, fast=self.fast, **self.kw)
+            item_fn = lambda p: self._nd.decode_preprocess(
+                p, fast=self.fast, **self.kw)
         try:
-            imgs = self._nd.decode_preprocess_batch(paths, fast=self.fast,
-                                                    **self.kw)
+            imgs = batch_fn(paths)
         except ValueError:
             # mixed/broken content: per-item native with PIL fallback
             outs = []
             for i, p in zip(idxs, paths):
                 try:
-                    outs.append(self._nd.decode_preprocess(p, fast=self.fast,
-                                                           **self.kw))
+                    outs.append(item_fn(p))
                 except ValueError:
-                    outs.append(self.dataset[i][0])
+                    outs.append(self._pil_fallback(i))
             imgs = np.stack(outs)
         return imgs, labels
 

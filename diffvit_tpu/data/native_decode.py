@@ -59,6 +59,12 @@ def load_library():
     lib.jpeg_decode_preprocess_batch.argtypes = [
         ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_ulong), ctypes.c_int,
         f32p, ctypes.c_int, ctypes.c_int, f32p, f32p, i32p, ctypes.c_int]
+    lib.jpeg_decode_preprocess_u8.argtypes = [
+        u8p, ctypes.c_ulong, u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    lib.jpeg_decode_preprocess_u8.restype = ctypes.c_int
+    lib.jpeg_decode_preprocess_batch_u8.argtypes = [
+        ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_ulong), ctypes.c_int,
+        u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -115,6 +121,47 @@ def decode_preprocess(path_or_bytes, *, input_size=224, crop_pct=0.875,
             _f32ptr(mean_a), _f32ptr(std_a))
     if rc:
         raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def decode_preprocess_u8(path_or_bytes, *, input_size=224, crop_pct=0.875,
+                         fast=False):
+    """JPEG -> uint8 CHW resized+cropped crop (pre-normalize).  The wire
+    format for host->device transfer: 4x fewer bytes than f32, and the
+    device-side (x/255 - mean)/std (imagenet.device_normalize) reproduces
+    the f32 path bit-exactly."""
+    lib = load_library()
+    buf = _read(path_or_bytes)
+    out = np.empty((3, input_size, input_size), np.uint8)
+    size = int(math.floor(input_size / crop_pct))
+    rc = lib.jpeg_decode_preprocess_u8(
+        _u8ptr(buf), len(buf),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        size, input_size, int(fast))
+    if rc:
+        raise ValueError(f"JPEG decode failed (rc={rc})")
+    return out
+
+
+def decode_preprocess_batch_u8(paths_or_bytes, *, input_size=224,
+                               crop_pct=0.875, fast=False):
+    """List of JPEG paths/bytes -> (N, 3, size, size) uint8 (see
+    decode_preprocess_u8); OpenMP across images, GIL released."""
+    lib = load_library()
+    bufs = [_read(p) for p in paths_or_bytes]
+    n = len(bufs)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    srcs = (u8p * n)(*[_u8ptr(b) for b in bufs])
+    lens = (ctypes.c_ulong * n)(*[len(b) for b in bufs])
+    status = (ctypes.c_int * n)()
+    out = np.empty((n, 3, input_size, input_size), np.uint8)
+    size = int(math.floor(input_size / crop_pct))
+    lib.jpeg_decode_preprocess_batch_u8(
+        srcs, lens, n, out.ctypes.data_as(u8p), size, input_size, status,
+        int(fast))
+    bad = [i for i in range(n) if status[i]]
+    if bad:
+        raise ValueError(f"JPEG decode failed for batch items {bad[:8]}")
     return out
 
 

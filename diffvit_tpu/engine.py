@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import QuantConfig
+from .data.imagenet import IMAGENET_MEAN, IMAGENET_STD, device_normalize
 from .models import vit as vit_mod
 from .models.registry import build_params
 from .utils.metrics import AverageMeter, accuracy, cross_entropy
@@ -32,7 +33,8 @@ class QuantizedViT:
     """
 
     def __init__(self, name_or_spec, cfg: QuantConfig | None = None,
-                 params=None, checkpoint=None, mesh=None, seed: int = 0):
+                 params=None, checkpoint=None, mesh=None, seed: int = 0,
+                 input_norm=(IMAGENET_MEAN, IMAGENET_STD)):
         if isinstance(name_or_spec, str):
             self.spec, loaded = build_params(name_or_spec, checkpoint, seed)
             params = params if params is not None else loaded
@@ -51,6 +53,13 @@ class QuantizedViT:
         self.qparams = None
         self.global_distance = None
         self._jit_cache = {}
+        # All jitted forwards prepend this: uint8 batches (the 4x-smaller
+        # wire format from the emit="u8" loaders) normalize ON DEVICE
+        # (data/imagenet.device_normalize, bit-exact vs host f32); f32
+        # batches pass through — dtype is static under jit, so the branch
+        # costs nothing and each dtype traces its own executable.
+        mean, std = input_norm
+        self._prep = partial(device_normalize, mean=mean, std=std)
 
     # -- calibration ------------------------------------------------------
     def calibrate(self, batch):
@@ -61,13 +70,13 @@ class QuantizedViT:
         if isinstance(batch, (list, tuple)):
             qp, dist = self._mod.calibrate_batches(
                 self.params, self.spec, self.cfg,
-                [jnp.asarray(b) for b in batch])
+                [self._prep(jnp.asarray(b)) for b in batch])
             if self.mesh is not None:
                 qp = mesh_mod.shard_replicated(self.mesh, qp)
             self.qparams = jax.tree.map(lambda a: a, qp)
             self.global_distance = np.asarray(dist)
             return self.qparams
-        batch = jnp.asarray(batch)
+        batch = self._prep(jnp.asarray(batch))
         # Eager orchestration over jitted per-site primitives: identical
         # block shapes share compiled kernels (see calib/observers.py).
         qp, dist = self._mod.calibrate(self.params, self.spec, self.cfg, batch)
@@ -119,7 +128,7 @@ class QuantizedViT:
                                          self.spec, self.cfg, bit)
                 self._jit_cache[key] = jax.jit(
                     lambda x: int_mod.forward_q_int(ip, self.spec,
-                                                    self.cfg, x))
+                                                    self.cfg, self._prep(x)))
             return self._jit_cache[key]
         from .models import vit_int
 
@@ -132,7 +141,8 @@ class QuantizedViT:
             if self.mesh is not None:
                 ip = mesh_mod.shard_int_params(self.mesh, ip)
             self._jit_cache[key] = jax.jit(
-                lambda x: vit_int.forward_q_int(ip, self.spec, self.cfg, x))
+                lambda x: vit_int.forward_q_int(ip, self.spec, self.cfg,
+                                                self._prep(x)))
         return self._jit_cache[key]
 
     # -- forwards ---------------------------------------------------------
@@ -142,14 +152,14 @@ class QuantizedViT:
             if quant and self.is_swin:
                 fn = partial(self._mod.forward_q, spec=self.spec,
                              cfg=self.cfg, bit=bit_config)
-                jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=x))
+                jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=self._prep(x)))
             elif quant:
                 fn = partial(self._mod.forward_q, spec=self.spec,
                              cfg=self.cfg, bit_config=bit_config)
-                jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=x))
+                jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=self._prep(x)))
             else:
                 fn = partial(self._mod.forward_fp, spec=self.spec)
-                jfn = jax.jit(lambda p, qp, x: fn(p, x=x))
+                jfn = jax.jit(lambda p, qp, x: fn(p, x=self._prep(x)))
             self._jit_cache[key] = jfn
         return self._jit_cache[key]
 
@@ -196,7 +206,7 @@ class QuantizedViT:
 
             def f(p, qp, xin, bits):
                 return mod.forward_q_bits(p, qp, self.spec, self.cfg,
-                                          xin, bits)
+                                          self._prep(xin), bits)
 
             self._jit_cache[key] = jax.jit(
                 jax.vmap(f, in_axes=(None, None, None, 0)))

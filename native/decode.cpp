@@ -27,10 +27,12 @@
 
 #include <jpeglib.h>
 
-// preproc.cpp's entry point (both TUs are linked into libdecode.so)
+// preproc.cpp's entry points (both TUs are linked into libdecode.so)
 extern "C" void preprocess_rgb(const uint8_t* src, int sh, int sw,
                                float* dst, int resize_to, int crop,
                                const float* mean, const float* std_);
+extern "C" void preprocess_rgb_u8(const uint8_t* src, int sh, int sw,
+                                  uint8_t* dst, int resize_to, int crop);
 
 namespace {
 
@@ -168,6 +170,32 @@ int jpeg_decode_preprocess_fast(const uint8_t* buf, unsigned long len,
     if (rc) return rc;
     preprocess_rgb(rgb.data(), h, w, dst, resize_to, crop, mean, std_);
     return 0;
+}
+
+// u8 wire-format variant: resize + crop only, CHW uint8 output (the device
+// does the normalize — 4x less H2D traffic, bit-identical model input).
+int jpeg_decode_preprocess_u8(const uint8_t* buf, unsigned long len,
+                              uint8_t* dst, int resize_to, int crop,
+                              int fast) {
+    std::vector<uint8_t> rgb;
+    int h, w;
+    int rc = decode_into(buf, len, &rgb, nullptr, &h, &w,
+                         fast ? resize_to : 0);
+    if (rc) return rc;
+    preprocess_rgb_u8(rgb.data(), h, w, dst, resize_to, crop);
+    return 0;
+}
+
+void jpeg_decode_preprocess_batch_u8(const uint8_t** bufs,
+                                     const unsigned long* lens, int n,
+                                     uint8_t* dst, int resize_to, int crop,
+                                     int* status, int fast) {
+#pragma omp parallel for schedule(dynamic)
+    for (int i = 0; i < n; i++) {
+        uint8_t* out = dst + static_cast<size_t>(i) * 3 * crop * crop;
+        status[i] = jpeg_decode_preprocess_u8(bufs[i], lens[i], out,
+                                              resize_to, crop, fast);
+    }
 }
 
 void jpeg_decode_preprocess_batch(const uint8_t** bufs,

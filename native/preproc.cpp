@@ -162,13 +162,19 @@ static long round_half_even(double v) {
 
 }  // namespace
 
-extern "C" {
+namespace {
 
-// Resize shorter side to `resize_to` (PIL torchvision Resize(int) semantics),
-// center-crop `crop`, normalize to CHW float32.
-void preprocess_rgb(const uint8_t* src, int sh, int sw, float* dst,
-                    int resize_to, int crop, const float* mean,
-                    const float* std_) {
+// Shared resize-to-shorter-side + center-crop-offset stage.  `cur` points
+// at the resized HWC u8 image (possibly `src` itself, possibly one of the
+// holder vectors — the holders MUST outlive the use of `cur`).
+struct ResizedView {
+    const uint8_t* cur;
+    int cur_w, left, top;
+    std::vector<uint8_t> tmp_h, tmp_v;  // storage backing `cur`
+};
+
+static void resize_for_crop(const uint8_t* src, int sh, int sw,
+                            int resize_to, int crop, ResizedView* rv) {
     int ow, oh;
     if (sw <= sh) {
         ow = resize_to;
@@ -180,21 +186,20 @@ void preprocess_rgb(const uint8_t* src, int sh, int sw, float* dst,
             static_cast<double>(resize_to) * sw / sh));
     }
 
-    std::vector<uint8_t> tmp_h, tmp_v;
     const uint8_t* cur = src;
     int cur_h = sh, cur_w = sw;
     if (ow != sw) {
         Coeffs cx = precompute_coeffs(sw, ow);
-        tmp_h.resize(static_cast<size_t>(sh) * ow * 3);
-        resample_h(cur, sh, sw, tmp_h.data(), ow, cx);
-        cur = tmp_h.data();
+        rv->tmp_h.resize(static_cast<size_t>(sh) * ow * 3);
+        resample_h(cur, sh, sw, rv->tmp_h.data(), ow, cx);
+        cur = rv->tmp_h.data();
         cur_w = ow;
     }
     if (oh != sh) {
         Coeffs cy = precompute_coeffs(sh, oh);
-        tmp_v.resize(static_cast<size_t>(oh) * cur_w * 3);
-        resample_v(cur, sh, cur_w, tmp_v.data(), oh, cy);
-        cur = tmp_v.data();
+        rv->tmp_v.resize(static_cast<size_t>(oh) * cur_w * 3);
+        resample_v(cur, sh, cur_w, rv->tmp_v.data(), oh, cy);
+        cur = rv->tmp_v.data();
         cur_h = oh;
     }
 
@@ -203,6 +208,25 @@ void preprocess_rgb(const uint8_t* src, int sh, int sw, float* dst,
     int top = static_cast<int>(round_half_even((cur_h - crop) / 2.0));
     if (left < 0) left = 0;
     if (top < 0) top = 0;
+    rv->cur = cur;
+    rv->cur_w = cur_w;
+    rv->left = left;
+    rv->top = top;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Resize shorter side to `resize_to` (PIL torchvision Resize(int) semantics),
+// center-crop `crop`, normalize to CHW float32.
+void preprocess_rgb(const uint8_t* src, int sh, int sw, float* dst,
+                    int resize_to, int crop, const float* mean,
+                    const float* std_) {
+    ResizedView rv;
+    resize_for_crop(src, sh, sw, resize_to, crop, &rv);
+    const uint8_t* cur = rv.cur;
+    const int cur_w = rv.cur_w, left = rv.left, top = rv.top;
 
     // same op order as the numpy path (x/255 - mean)/std for bit parity.
     // The uint8 domain has 256 values per channel: precompute the exact
@@ -220,6 +244,26 @@ void preprocess_rgb(const uint8_t* src, int sh, int sw, float* dst,
                 cur + (static_cast<size_t>(top + y) * cur_w + left) * 3 + b;
             for (int x = 0; x < crop; x++)
                 out[y * crop + x] = lb[row[x * 3]];
+        }
+    }
+}
+
+// Same resize + center-crop, but emit the CHW *uint8* crop — the natural
+// wire format for host->device transfer (4x fewer bytes than f32; the
+// device applies the identical (x/255 - mean)/std in f32, so the model
+// input is bit-identical — data/imagenet.py device_normalize).
+void preprocess_rgb_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
+                       int resize_to, int crop) {
+    ResizedView rv;
+    resize_for_crop(src, sh, sw, resize_to, crop, &rv);
+    for (int b = 0; b < 3; b++) {
+        uint8_t* out = dst + static_cast<size_t>(b) * crop * crop;
+        for (int y = 0; y < crop; y++) {
+            const uint8_t* row = rv.cur
+                + (static_cast<size_t>(rv.top + y) * rv.cur_w + rv.left) * 3
+                + b;
+            for (int x = 0; x < crop; x++)
+                out[y * crop + x] = row[x * 3];
         }
     }
 }

@@ -61,6 +61,12 @@ def build_parser():
     p.add_argument("--int-path", default=False, action="store_true",
                    help="run real int8 MXU execution instead of the "
                         "reference-style fake-quant simulation")
+    p.add_argument("--wire", default="f32", choices=["f32", "u8"],
+                   help="host->device wire format for eval batches: 'u8' "
+                        "ships the uint8 crop (4x less H2D) and normalizes "
+                        "on device — bit-identical model input "
+                        "(data/imagenet.device_normalize); requires JPEG "
+                        "val data (native loader)")
     p.add_argument("--native-preproc", default=False, action="store_true",
                    help="use the C++ preprocessing library (bit-exact vs the "
                         "PIL path; parallel batch assembly outside the GIL)")
@@ -124,9 +130,10 @@ def main(argv=None):
         if dp * args.tp > 1:
             mesh = make_mesh(dp * args.tp, dp=dp, tp=args.tp)
             print(f"mesh: dp={dp} tp={args.tp}")
-    model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
-                         seed=args.seed, mesh=mesh)
     pp = preprocessing_for(args.model)
+    model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
+                         seed=args.seed, mesh=mesh,
+                         input_norm=(pp.mean, pp.std))
     if args.native_preproc:
         from diffvit_tpu.data.native_preproc import build_native_transform
 
@@ -141,8 +148,17 @@ def main(argv=None):
     val_dataset = ImageFolder(valdir, transform)
     if args.val_limit:
         val_dataset.samples = val_dataset.samples[: args.val_limit]
-    val_loader = DataLoader(val_dataset, args.val_batchsize, shuffle=False,
-                            num_workers=args.num_workers)
+    if args.wire == "u8":
+        if args.native_preproc:
+            raise SystemExit("--wire u8 already decodes natively; "
+                             "drop --native-preproc")
+        from diffvit_tpu.data.imagenet import NativeJpegLoader
+
+        val_loader = NativeJpegLoader(val_dataset, args.val_batchsize,
+                                      emit="u8")
+    else:
+        val_loader = DataLoader(val_dataset, args.val_batchsize, shuffle=False,
+                                num_workers=args.num_workers)
 
     train_loader = None
 
