@@ -34,6 +34,26 @@ class QuantConfig:
 
     smoothquant: bool = True
 
+    def to_dict(self) -> dict:
+        """JSON-able form (BitTypes by registry name) — the config half of
+        the deployable int-model artifact (engine.save_int_model)."""
+        d = dataclasses.asdict(self)
+        d["bit_w"] = self.bit_w.name
+        d["bit_a"] = self.bit_a.name
+        d["alpha_pool"] = list(self.alpha_pool)
+        d["mlp_alpha_pool"] = list(self.mlp_alpha_pool)
+        d["bit_pool"] = list(self.bit_pool)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "QuantConfig":
+        d = dict(d)
+        d["bit_w"] = BIT_TYPE_DICT[d["bit_w"]]
+        d["bit_a"] = BIT_TYPE_DICT[d["bit_a"]]
+        for k in ("alpha_pool", "mlp_alpha_pool", "bit_pool"):
+            d[k] = tuple(d[k])
+        return cls(**d)
+
     @property
     def observer_a(self) -> str:
         return self.quant_method

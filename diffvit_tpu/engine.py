@@ -145,6 +145,38 @@ class QuantizedViT:
                                                 self._prep(x)))
         return self._jit_cache[key]
 
+    def save_int_model(self, path, bit_config=None):
+        """Export the baked integer model (int8 weight codes + requant
+        multipliers + structure) as one .npz deployment artifact.  Serving
+        cold-start then needs neither the fp checkpoint nor calibration:
+        ``engine.load_int_model(path)`` returns a callable model.  Beyond
+        the reference (which recalibrates and re-fake-quantizes the fp
+        model every run, test_quant.py:234-249)."""
+        from .utils.serialize import save_pytree
+
+        if self.qparams is None:
+            raise RuntimeError("calibrate first")
+        if self.is_swin:
+            from .models import swin_int as int_mod
+
+            if bit_config is None:
+                bit_config = self.cfg.bit_w.bits
+            ip = int_mod.prepare_int(self.params, self.qparams, self.spec,
+                                     self.cfg, bit_config)
+        else:
+            from .models import vit_int as int_mod
+
+            if bit_config is not None:
+                bit_config = tuple(int(b) for b in bit_config)
+            ip = int_mod.prepare_int(self.params, self.qparams, self.spec,
+                                     self.cfg, bit_config)
+        import dataclasses
+
+        save_pytree(path, ip, meta={"model": self.spec.name,
+                                    "spec": dataclasses.asdict(self.spec),
+                                    "cfg": self.cfg.to_dict(),
+                                    "is_swin": self.is_swin})
+
     # -- forwards ---------------------------------------------------------
     def _forward_fn(self, quant: bool, bit_config):
         key = (quant, bit_config)
@@ -230,6 +262,58 @@ class QuantizedViT:
     @property
     def flops(self):
         return self._mod.flops_list(self.spec)
+
+
+class IntModel:
+    """A deployed integer model loaded from a save_int_model artifact:
+    just the baked int pytree + spec/cfg, with the same jitted-forward and
+    uint8-wire entry as QuantizedViT.  No fp params, no calibration
+    machinery — the serving-side object."""
+
+    def __init__(self, ip, spec, cfg, is_swin, mesh=None,
+                 input_norm=(IMAGENET_MEAN, IMAGENET_STD)):
+        if is_swin:
+            from .models import swin_int as int_mod
+        else:
+            from .models import vit_int as int_mod
+            if mesh is not None:
+                ip = mesh_mod.shard_int_params(mesh, ip)
+        self.ip, self.spec, self.cfg, self.mesh = ip, spec, cfg, mesh
+        self.is_swin = is_swin
+        mean, std = input_norm
+        prep = partial(device_normalize, mean=mean, std=std)
+        self._fwd = jax.jit(
+            lambda x: int_mod.forward_q_int(ip, spec, cfg, prep(x)))
+
+    def __call__(self, x, bit_config=None, quant=True, use_int=True):
+        # (bit_config is baked into the artifact; the extra kwargs make
+        # IntModel a drop-in for validate()'s model argument)
+        x = jnp.asarray(x)
+        if self.mesh is not None:
+            x = jax.device_put(x, mesh_mod.batch_sharding(self.mesh))
+        return self._fwd(x)
+
+
+def load_int_model(path, mesh=None,
+                   input_norm=(IMAGENET_MEAN, IMAGENET_STD)) -> IntModel:
+    """Load a save_int_model artifact into a servable IntModel.  The spec
+    is reconstructed from the embedded dataclass fields (so custom specs
+    round-trip, not just registry names)."""
+    from .utils.serialize import load_pytree
+
+    ip, meta = load_pytree(path)
+    sd = dict(meta["spec"])
+    if meta["is_swin"]:
+        from .models.swin import SwinSpec
+
+        for k in ("depths", "num_heads"):  # JSON turns tuples into lists
+            sd[k] = tuple(sd[k])
+        spec = SwinSpec(**sd)
+    else:
+        spec = vit_mod.ViTSpec(**sd)
+    cfg = QuantConfig.from_dict(meta["cfg"])
+    return IntModel(ip, spec, cfg, meta["is_swin"], mesh=mesh,
+                    input_norm=input_norm)
 
 
 def validate_bits(model: QuantizedViT, loader, configs, log=print):

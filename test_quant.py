@@ -89,6 +89,14 @@ def build_parser():
                         "(test_quant.py:262)")
     p.add_argument("--val-limit", default=None, type=int,
                    help="cap validation images (debug)")
+    p.add_argument("--save-int", default=None, metavar="PATH",
+                   help="after calibration, export the baked integer model "
+                        "(int8 weight codes + requant scales, one .npz "
+                        "deployment artifact; engine.save_int_model)")
+    p.add_argument("--load-int", default=None, metavar="PATH",
+                   help="serve a --save-int artifact: skip checkpoint "
+                        "loading AND calibration, validate the integer "
+                        "path directly (engine.load_int_model)")
     return p
 
 
@@ -131,9 +139,20 @@ def main(argv=None):
             mesh = make_mesh(dp * args.tp, dp=dp, tp=args.tp)
             print(f"mesh: dp={dp} tp={args.tp}")
     pp = preprocessing_for(args.model)
-    model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
-                         seed=args.seed, mesh=mesh,
-                         input_norm=(pp.mean, pp.std))
+    if args.load_int:
+        if args.mixed:
+            raise SystemExit("--load-int serves one baked bit_config; "
+                             "run --mixed with --save-int instead")
+        from diffvit_tpu.engine import load_int_model
+
+        model = load_int_model(args.load_int, mesh=mesh,
+                               input_norm=(pp.mean, pp.std))
+        print(f"Serving int artifact: {args.load_int} "
+              f"({model.spec.name})")
+    else:
+        model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
+                             seed=args.seed, mesh=mesh,
+                             input_norm=(pp.mean, pp.std))
     if args.native_preproc:
         from diffvit_tpu.data.native_preproc import build_native_transform
 
@@ -192,7 +211,7 @@ def main(argv=None):
             joint=args.hessian_estimator == "joint")
         print("\n***Trace: ", mean_hessian)
 
-    if args.quant:
+    if args.quant and not args.load_int:
         if args.mode == 2:
             from diffvit_tpu.analysis.datagen import generate_data
 
@@ -220,6 +239,9 @@ def main(argv=None):
             else:
                 calib = train_batches(1, args.calib_batchsize)[0][0]
         model.calibrate(calib)
+        if args.save_int:
+            model.save_int_model(args.save_int)
+            print(f"Saved int artifact: {args.save_int}")
 
     def evaluate(bit_config):
         print(bit_config)
@@ -269,9 +291,10 @@ def main(argv=None):
         elif model.is_swin:
             # Swin has no per-layer bit plumbing in the reference — one
             # uniform weight bit (swin_quant.py:813-817)
-            bit_config = cfg.bit_w.bits
+            bit_config = model.cfg.bit_w.bits
         else:
-            bit_config = [cfg.bit_w.bits] * vit_mod.num_bit_slots(model.spec)
+            bit_config = [model.cfg.bit_w.bits] * \
+                vit_mod.num_bit_slots(model.spec)
         print(bit_config)
         validate(model, val_loader, bit_config, quant=args.quant,
                  print_freq=args.print_freq,

@@ -1,0 +1,113 @@
+"""Int-model deployment artifact: engine.save_int_model writes the baked
+integer pytree (int8 weight codes + requant multipliers + spec/cfg) to one
+.npz; engine.load_int_model returns a servable IntModel whose logits are
+BIT-exact vs the in-process integer path — no fp checkpoint, no
+calibration at load time.  Beyond the reference (it recalibrates every
+run, /root/reference/test_quant.py:234-249)."""
+import os
+import tempfile
+
+import jax
+import numpy as np
+import pytest
+
+from diffvit_tpu import QuantConfig
+from diffvit_tpu.engine import QuantizedViT, load_int_model
+from diffvit_tpu.models import swin, vit
+from diffvit_tpu.utils.serialize import load_pytree, save_pytree
+
+TINY = vit.ViTSpec("export_tiny", embed_dim=64, depth=2, num_heads=2,
+                   num_classes=10)
+SWIN_TINY = swin.SwinSpec("export_swin", embed_dim=32, depths=(1, 1),
+                          num_heads=(2, 4), window=7, img_size=56,
+                          num_classes=10)
+
+
+def test_pytree_npz_roundtrip():
+    tree = {
+        "bit_config": (4, 8, -1),
+        "blocks": [{"w_int": np.arange(6, dtype=np.int8).reshape(2, 3),
+                    "b": None, "fp": False, "bit": 4},
+                   {"scale": np.float32(0.25), "name/with/slash": True}],
+        "empty": [],
+        "f": 1.5,
+    }
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "t.npz")
+        save_pytree(p, tree, meta={"hello": [1, 2]})
+        out, meta = load_pytree(p)
+    assert meta == {"hello": [1, 2]}
+    assert out["bit_config"] == (4, 8, -1)
+    assert isinstance(out["bit_config"], tuple)
+    assert isinstance(out["blocks"], list) and out["empty"] == []
+    b0 = out["blocks"][0]
+    assert b0["b"] is None and b0["fp"] is False and b0["bit"] == 4
+    assert b0["w_int"].dtype == np.int8
+    np.testing.assert_array_equal(b0["w_int"], tree["blocks"][0]["w_int"])
+    assert out["blocks"][1]["name/with/slash"] is True
+    assert out["f"] == 1.5
+
+
+@pytest.fixture(scope="module")
+def calibrated_vit():
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    m = QuantizedViT(TINY, QuantConfig(), params=params)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 224, 224))
+    m.calibrate(np.asarray(x))
+    return m, np.asarray(x)
+
+
+def test_int_export_roundtrip_bitexact(calibrated_vit):
+    m, x = calibrated_vit
+    ref = np.asarray(m(x, use_int=True))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "deit.npz")
+        m.save_int_model(p)
+        served = load_int_model(p)
+    assert served.spec == TINY and served.cfg == m.cfg
+    out = np.asarray(served(x))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_int_export_mixed_bits(calibrated_vit):
+    m, x = calibrated_vit
+    bc = [4, 8] * (vit.num_bit_slots(TINY) // 2) + \
+        [4] * (vit.num_bit_slots(TINY) % 2)
+    ref = np.asarray(m(x, bit_config=tuple(bc), use_int=True))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "deit_mixed.npz")
+        m.save_int_model(p, bit_config=bc)
+        served = load_int_model(p)
+    np.testing.assert_array_equal(np.asarray(served(x)), ref)
+
+
+def test_int_export_u8_wire(calibrated_vit):
+    """The served model keeps the uint8 wire entry: a u8 batch must produce
+    the exact logits of the f32 batch it encodes."""
+    m, x = calibrated_vit
+    from diffvit_tpu.data.imagenet import IMAGENET_MEAN, IMAGENET_STD
+    u8 = np.random.default_rng(0).integers(
+        0, 256, size=x.shape, dtype=np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0
+            - np.asarray(IMAGENET_MEAN, np.float32)[None, :, None, None])
+           / np.asarray(IMAGENET_STD, np.float32)[None, :, None, None])
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "deit.npz")
+        m.save_int_model(p)
+        served = load_int_model(p)
+    np.testing.assert_array_equal(np.asarray(served(u8)),
+                                  np.asarray(served(f32)))
+
+
+def test_int_export_swin():
+    params = swin.init_swin_params(SWIN_TINY, jax.random.PRNGKey(0))
+    m = QuantizedViT(SWIN_TINY, QuantConfig(), params=params)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (2, 3, 56, 56)))
+    m.calibrate(x)
+    ref = np.asarray(m(x, use_int=True))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "swin.npz")
+        m.save_int_model(p)
+        served = load_int_model(p)
+    assert served.spec == SWIN_TINY
+    np.testing.assert_array_equal(np.asarray(served(x)), ref)
