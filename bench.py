@@ -177,7 +177,7 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
 
 
 def bench_loader_host(native=False, batch=64, n_images=512, size=256,
-                      fast=False, texture="noise"):
+                      fast=False, texture="noise", emit="f32"):
     """Host-only loader throughput (JPEG decode -> preprocess -> stacked
     float32 batch, NO device in the loop).  This isolates the data
     pipeline itself from the axon tunnel's dispatch/RPC contention, which
@@ -201,7 +201,7 @@ def bench_loader_host(native=False, batch=64, n_images=512, size=256,
         ds = ImageFolder(root, build_transform())
         if native:
             loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True,
-                                      fast=fast)
+                                      fast=fast, emit=emit)
         else:
             loader = DataLoader(ds, batch_size=batch, num_workers=8,
                                 drop_last=True)
@@ -282,6 +282,10 @@ def run_matrix():
     add("host_loader_native_b64", bench_loader_host, native=True)
     add("host_loader_native_fast_b64", bench_loader_host, native=True,
         fast=True)
+    # u8 emit = the production wire format (--wire u8): the host skips the
+    # normalize + f32 store entirely (the device LUT-normalizes)
+    add("host_loader_native_u8_b64", bench_loader_host, native=True,
+        emit="u8")
     # ImageNet-val-median geometry (500x375) with photo-like JPEG entropy:
     # the resample + DCT-scaled fast decode engage here, unlike the
     # 256-square legacy fixture.  The legacy noise fixture is Huffman-
@@ -293,6 +297,9 @@ def run_matrix():
         size=(500, 375), texture="photo")
     add("host_loader_native_fast_photo500_b64", bench_loader_host,
         native=True, size=(500, 375), fast=True, texture="photo")
+    add("host_loader_native_u8_fast_photo500_b64", bench_loader_host,
+        native=True, size=(500, 375), fast=True, texture="photo",
+        emit="u8")
     add("pipeline_e2e_jpeg_deit_small_int4_b64", bench_pipeline)
     add("pipeline_e2e_jpeg_native_deit_small_int4_b64", bench_pipeline,
         native=True)
