@@ -246,6 +246,58 @@ def _round_up(n, m):
     return (n + m - 1) // m * m
 
 
+def _embed_front(ip, spec: ViTSpec, cfg: QuantConfig, x):
+    """Input quant -> patch embed -> cls/pos fences -> qact1 fake-quant
+    (the stem shared by forward_q_int and the resident serving path)."""
+    bt_a = cfg.bit_a
+    B = x.shape[0]
+    if spec.input_quant:
+        x = _fq_site(ip["qact_input"], x, bt_a)
+    patches = patchify(x, spec)
+    pt = ip["patch"]
+    if pt["fp"]:
+        h = patches @ pt["w"].T + pt["b"]
+    else:
+        p_int = _requant_i8(patches, ip["qact_input"]["scale"])
+        h = _int_dot(p_int, pt["w_int"]).astype(jnp.float32) * pt["mult"] + pt["b"]
+    h = _fq_site(ip["patch.qact"], h, bt_a)
+
+    cls = jnp.broadcast_to(ip["cls_token"], (B, 1, spec.embed_dim))
+    h = jnp.concatenate([cls, h], axis=1)
+    h = _fq_site(ip["qact_embed"], h, bt_a)
+    h = h + _fq_site(ip["qact_pos"], ip["pos_embed"], bt_a)
+    return _fq_site(ip["qact1"], h, bt_a)
+
+
+def _head_tail(ip, spec: ViTSpec, cfg: QuantConfig, h, hc):
+    """Final norm -> cls token -> head -> act_out (shared tail).  ``h`` is
+    the f32 residual stream or None; ``hc`` its int8 codes or None (codes
+    win when both given, matching forward_q_int's codes path)."""
+    bt_a = cfg.bit_a
+    eps = spec.ln_eps
+    last_scale = ip["blocks"][-1]["qact4"]["scale"]
+    head = ip["head"]
+    if cfg.int_norm:
+        s_out = ip["qact2"]["scale"]
+        h_i8 = _ln_int8(h if hc is None else None, ip["norm"], last_scale,
+                        s_out, eps, x_codes=hc)[:, 0]
+        if head["fp"]:
+            logits = (h_i8.astype(jnp.float32) * s_out) @ head["w"].T + head["b"]
+        else:
+            logits = _int_dot(h_i8, head["w_int"]).astype(jnp.float32) \
+                * head["mult"] + head["b"]
+    else:
+        hf = float_layernorm(h, ip["norm"]["w"], ip["norm"]["b"], eps)[:, 0]
+        hf = _fq_site(ip["qact2"], hf, bt_a)
+        if head["fp"]:
+            logits = hf @ head["w"].T + head["b"]
+        else:
+            h_i8 = _requant_i8(hf, ip["qact2"]["scale"])
+            logits = _int_dot(h_i8, head["w_int"]).astype(jnp.float32) \
+                * head["mult"] + head["b"]
+    return _fq_site(ip["act_out"], logits, bt_a)
+
+
 def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
                   use_pallas: bool | None = None, pallas_interpret=False):
     """Integer forward pass over a prepared int-model pytree.
@@ -263,22 +315,7 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     B = x.shape[0]
     h_dim, n_heads = spec.head_dim, spec.num_heads
 
-    if spec.input_quant:
-        x = _fq_site(ip["qact_input"], x, bt_a)
-    patches = patchify(x, spec)
-    pt = ip["patch"]
-    if pt["fp"]:
-        h = patches @ pt["w"].T + pt["b"]
-    else:
-        p_int = _requant_i8(patches, ip["qact_input"]["scale"])
-        h = _int_dot(p_int, pt["w_int"]).astype(jnp.float32) * pt["mult"] + pt["b"]
-    h = _fq_site(ip["patch.qact"], h, bt_a)
-
-    cls = jnp.broadcast_to(ip["cls_token"], (B, 1, spec.embed_dim))
-    h = jnp.concatenate([cls, h], axis=1)
-    h = _fq_site(ip["qact_embed"], h, bt_a)
-    h = h + _fq_site(ip["qact_pos"], ip["pos_embed"], bt_a)
-    h = _fq_site(ip["qact1"], h, bt_a)
+    h = _embed_front(ip, spec, cfg, x)
 
     bc = ip["bit_config"]
     sym_acts = ip.get("sym_acts", False)
@@ -516,25 +553,35 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
             y = _fq_site(ib["mlp.qact2"], y, bt_a)
             h = _fq_site(ib["qact4"], h + y, bt_a)
 
-    # final norm -> cls token -> head
-    last_scale = ip["blocks"][-1]["qact4"]["scale"]
-    head = ip["head"]
-    if cfg.int_norm:
-        s_out = ip["qact2"]["scale"]
-        h_i8 = _ln_int8(h if hc is None else None, ip["norm"], last_scale,
-                        s_out, eps, x_codes=hc)[:, 0]
-        if head["fp"]:
-            logits = (h_i8.astype(jnp.float32) * s_out) @ head["w"].T + head["b"]
-        else:
-            logits = _int_dot(h_i8, head["w_int"]).astype(jnp.float32) \
-                * head["mult"] + head["b"]
-    else:
-        hf = float_layernorm(h, ip["norm"]["w"], ip["norm"]["b"], eps)[:, 0]
-        hf = _fq_site(ip["qact2"], hf, bt_a)
-        if head["fp"]:
-            logits = hf @ head["w"].T + head["b"]
-        else:
-            h_i8 = _requant_i8(hf, ip["qact2"]["scale"])
-            logits = _int_dot(h_i8, head["w_int"]).astype(jnp.float32) \
-                * head["mult"] + head["b"]
-    return _fq_site(ip["act_out"], logits, bt_a)
+    return _head_tail(ip, spec, cfg, h, hc)
+
+
+def forward_q_int_serve(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
+                        packed=None, pallas_interpret=False):
+    """Serving-latency forward: the whole encoder stack runs as ONE
+    resident Pallas kernel (ops/pallas/serve.py) instead of ~24 kernels +
+    XLA glue — the b1/b8 step is dispatch-bound, not compute-bound.
+    Same semantics as forward_q_int's codes path (up to f32 reduction
+    order in the in-kernel LayerNorms; see serve.py).
+
+    ``packed``: the stacked pytree from ops.pallas.serve.prepare_resident
+    — pass it explicitly to amortize the host-side packing across calls
+    (it is itself jittable-free, plain device arrays)."""
+    from ..ops.pallas.serve import prepare_resident, resident_codes
+
+    if packed is None:
+        packed = prepare_resident(ip, spec, cfg)
+    bt_a = cfg.bit_a
+    B = x.shape[0]
+    h = _embed_front(ip, spec, cfg, x)
+    N = h.shape[1]
+    npad = _round_up(N, 8)
+    in_scale = ip["qact1"]["scale"]
+    hc = jnp.clip(jnp.round(h / in_scale), bt_a.lower_bound,
+                  bt_a.upper_bound).astype(I8)
+    hc = jnp.pad(hc, ((0, 0), (0, npad - N), (0, 0)))
+    out = resident_codes(packed, hc.reshape(B * npad, -1), n_real=N,
+                         bits=cfg.bit_s.bits, lis=cfg.lis, nelems=B,
+                         interpret=pallas_interpret)
+    hc_out = out.reshape(B, npad, -1)[:, :N]
+    return _head_tail(ip, spec, cfg, None, hc_out)
