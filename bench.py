@@ -44,7 +44,7 @@ def _synth_qp(calibrate_fn, params):
             for k, v in qp_shapes.items()}
 
 
-def _chained_throughput(run, batch, steps=20, warmup=2):
+def _chained_throughput(run, batch, steps=20, warmup=2, device_chain=False):
     import jax
     import jax.numpy as jnp
 
@@ -54,8 +54,25 @@ def _chained_throughput(run, batch, steps=20, warmup=2):
     # Chained, data-dependent steps: on virtualized TPU backends,
     # independent dispatches of the same executable can overlap across
     # backing hardware, making fire-and-forget timing meaningless.
-    # Host-dispatched (not fori_loop) so the Pallas kernels work (axon
-    # INTERNAL error inside fori_loop; see models/vit_int.py).
+    # ``device_chain`` moves the chain into a lax.fori_loop (ONE dispatch
+    # for all steps): sub-millisecond host-dispatched steps are
+    # enqueue/tunnel-bound on this rig (b1 read 0.80-1.34 ms across runs
+    # for an 0.47 ms chip step), so small-batch serving rows use it.
+    # (The round-1 "pallas inside fori_loop trips an axon INTERNAL error"
+    # no longer reproduces — re-verified round 3.)
+    if device_chain:
+        @jax.jit
+        def many(x):
+            def body(_, c):
+                logits = run(c)
+                return c * (1.0 + 1e-12 * jnp.sum(logits))
+            return jax.lax.fori_loop(0, steps, body, x)
+
+        many(x).block_until_ready()  # compile + warm
+        t0 = time.perf_counter()
+        many(x).block_until_ready()
+        return batch * steps / (time.perf_counter() - t0)
+
     @jax.jit
     def step_chained(x):
         logits = run(x)
@@ -72,7 +89,8 @@ def _chained_throughput(run, batch, steps=20, warmup=2):
     return batch * steps / dt
 
 
-def bench_vit(model, bits, path, batch, steps=20, bit_config=None):
+def bench_vit(model, bits, path, batch, steps=20, bit_config=None,
+              device_chain=False):
     import jax
 
     from diffvit_tpu.config import QuantConfig
@@ -90,17 +108,26 @@ def bench_vit(model, bits, path, batch, steps=20, bit_config=None):
     if bit_config is None:
         bit_config = (bits,) * vit.num_bit_slots(spec)
 
-    if path == "int":
+    if path in ("int", "serve"):
         from diffvit_tpu.models import vit_int
 
         ip = vit_int.prepare_int(params, qp, spec, cfg, bit_config)
-        run = lambda x: vit_int.forward_q_int(ip, spec, cfg, x)
+        if path == "serve":
+            from diffvit_tpu.ops.pallas.serve import prepare_resident
+
+            packed = prepare_resident(ip, spec, cfg)
+            run = lambda x: vit_int.forward_q_int_serve(
+                ip, spec, cfg, x, packed=packed)
+        else:
+            run = lambda x: vit_int.forward_q_int(ip, spec, cfg, x)
     else:
         run = lambda x: vit.forward_q(params, qp, spec, cfg, x, bit_config)
-    return _chained_throughput(run, batch, steps)
+    return _chained_throughput(run, batch, steps,
+                               device_chain=device_chain)
 
 
-def bench_swin(model, bits, batch, steps=10, bit_config=None):
+def bench_swin(model, bits, batch, steps=10, bit_config=None,
+               device_chain=False):
     import jax
 
     from diffvit_tpu.config import QuantConfig
@@ -113,7 +140,8 @@ def bench_swin(model, bits, batch, steps=10, bit_config=None):
     ip = swin_int.prepare_int(params, qp, spec, cfg,
                               bit_config if bit_config is not None else bits)
     run = lambda x: swin_int.forward_q_int(ip, spec, cfg, x)
-    return _chained_throughput(run, batch, steps)
+    return _chained_throughput(run, batch, steps,
+                               device_chain=device_chain)
 
 
 def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
@@ -265,19 +293,29 @@ def run_matrix():
     smixed = tuple(4 if i % 2 else 8 for i in range(sslots))
     add("swin_tiny_mixed48_int_b128", bench_swin,
         model="swin_tiny", bits=4, batch=128, bit_config=smixed)
-    # batch-1 / batch-8 low-latency serving rows (latency ms = 1000*batch /
-    # img_per_sec; chained steps so the tunnel's fire-and-forget overlap
-    # cannot fake them — see _chained_throughput)
+    # batch-1 / batch-8 low-latency serving rows: device-chained
+    # (lax.fori_loop) so neither fire-and-forget overlap NOR per-dispatch
+    # tunnel/enqueue cost (~0.3-0.9 ms, larger than the b1 step itself)
+    # distorts them — see _chained_throughput(device_chain=True)
     add("deit_small_int4_int_b1", bench_vit,
-        model="deit_small", bits=4, path="int", batch=1, steps=60)
+        model="deit_small", bits=4, path="int", batch=1, steps=100,
+        device_chain=True)
     add("deit_small_int4_int_b8", bench_vit,
-        model="deit_small", bits=4, path="int", batch=8, steps=40)
+        model="deit_small", bits=4, path="int", batch=8, steps=100,
+        device_chain=True)
     add("deit_small_int8_int_b1", bench_vit,
-        model="deit_small", bits=8, path="int", batch=1, steps=60)
+        model="deit_small", bits=8, path="int", batch=1, steps=100,
+        device_chain=True)
+    # resident whole-encoder kernel (ops/pallas/serve.py): the 12-block
+    # stack as ONE pallas_call — measured ~parity with the per-kernel
+    # path at b1 (docs/PERF_ANALYSIS.md "Batch-1 serving anatomy")
+    add("deit_small_int4_serve_b1", bench_vit,
+        model="deit_small", bits=4, path="serve", batch=1, steps=100,
+        device_chain=True)
     add("swin_tiny_int8_int_b1", bench_swin,
-        model="swin_tiny", bits=8, batch=1, steps=30)
+        model="swin_tiny", bits=8, batch=1, steps=60, device_chain=True)
     add("swin_tiny_int8_int_b8", bench_swin,
-        model="swin_tiny", bits=8, batch=8, steps=30)
+        model="swin_tiny", bits=8, batch=8, steps=60, device_chain=True)
     add("host_loader_pil_b64", bench_loader_host)
     add("host_loader_native_b64", bench_loader_host, native=True)
     add("host_loader_native_fast_b64", bench_loader_host, native=True,

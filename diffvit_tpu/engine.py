@@ -268,10 +268,19 @@ class IntModel:
     """A deployed integer model loaded from a save_int_model artifact:
     just the baked int pytree + spec/cfg, with the same jitted-forward and
     uint8-wire entry as QuantizedViT.  No fp params, no calibration
-    machinery — the serving-side object."""
+    machinery — the serving-side object.
+
+    ``resident=True`` (ViT family, single chip): run the encoder stack as
+    ONE resident Pallas kernel (ops/pallas/serve.py) instead of ~24
+    kernels.  Measured: parity with the per-kernel path at batch 1
+    (0.462 vs 0.453 ms DeiT-S, within variance), slower at b8 — per-kernel
+    launches inside one XLA program cost ~nothing on this hardware, so it
+    stays opt-in (docs/PERF_ANALYSIS.md "Batch-1 serving anatomy").
+    Batches above the resident kernel's scoped-VMEM capacity chunk
+    through it in micro-batches of 8 (forward_q_int_serve)."""
 
     def __init__(self, ip, spec, cfg, is_swin, mesh=None,
-                 input_norm=(IMAGENET_MEAN, IMAGENET_STD)):
+                 input_norm=(IMAGENET_MEAN, IMAGENET_STD), resident=False):
         if is_swin:
             from .models import swin_int as int_mod
         else:
@@ -282,8 +291,19 @@ class IntModel:
         self.is_swin = is_swin
         mean, std = input_norm
         prep = partial(device_normalize, mean=mean, std=std)
-        self._fwd = jax.jit(
-            lambda x: int_mod.forward_q_int(ip, spec, cfg, prep(x)))
+        if resident:
+            if is_swin or mesh is not None:
+                raise ValueError("resident serving kernel supports the "
+                                 "ViT family on a single chip")
+            from .ops.pallas.serve import prepare_resident
+
+            packed = prepare_resident(ip, spec, cfg)
+            self._fwd = jax.jit(
+                lambda x: int_mod.forward_q_int_serve(
+                    ip, spec, cfg, prep(x), packed=packed))
+        else:
+            self._fwd = jax.jit(
+                lambda x: int_mod.forward_q_int(ip, spec, cfg, prep(x)))
 
     def __call__(self, x, bit_config=None, quant=True, use_int=True):
         # (bit_config is baked into the artifact; the extra kwargs make
@@ -295,7 +315,8 @@ class IntModel:
 
 
 def load_int_model(path, mesh=None,
-                   input_norm=(IMAGENET_MEAN, IMAGENET_STD)) -> IntModel:
+                   input_norm=(IMAGENET_MEAN, IMAGENET_STD),
+                   resident=False) -> IntModel:
     """Load a save_int_model artifact into a servable IntModel.  The spec
     is reconstructed from the embedded dataclass fields (so custom specs
     round-trip, not just registry names)."""
@@ -313,7 +334,7 @@ def load_int_model(path, mesh=None,
         spec = vit_mod.ViTSpec(**sd)
     cfg = QuantConfig.from_dict(meta["cfg"])
     return IntModel(ip, spec, cfg, meta["is_swin"], mesh=mesh,
-                    input_norm=input_norm)
+                    input_norm=input_norm, resident=resident)
 
 
 def validate_bits(model: QuantizedViT, loader, configs, log=print):

@@ -557,18 +557,31 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
 
 
 def forward_q_int_serve(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
-                        packed=None, pallas_interpret=False):
+                        packed=None, pallas_interpret=None,
+                        microbatch=8):
     """Serving-latency forward: the whole encoder stack runs as ONE
     resident Pallas kernel (ops/pallas/serve.py) instead of ~24 kernels +
-    XLA glue — the b1/b8 step is dispatch-bound, not compute-bound.
-    Same semantics as forward_q_int's codes path (up to f32 reduction
-    order in the in-kernel LayerNorms; see serve.py).
+    XLA glue.  Measured ~parity with forward_q_int at b1, slower above
+    (see serve.py's header for the full verdict).  Same semantics as
+    forward_q_int's codes path (up to f32 reduction order in the
+    in-kernel LayerNorms; see serve.py).
 
     ``packed``: the stacked pytree from ops.pallas.serve.prepare_resident
     — pass it explicitly to amortize the host-side packing across calls
-    (it is itself jittable-free, plain device arrays)."""
+    (it is itself jittable-free, plain device arrays).
+
+    ``pallas_interpret``: auto (None) runs the kernel in interpret mode
+    on CPU backends (there is no non-pallas fallback for the resident
+    path — the single kernel IS the point).
+
+    ``microbatch``: the resident VMEM footprint grows with rows = B*npad
+    and exceeds the measured 16 MB scoped-VMEM limit around b16 (DeiT-S);
+    batches larger than this chunk through the kernel via lax.map.  None
+    disables chunking."""
     from ..ops.pallas.serve import prepare_resident, resident_codes
 
+    if pallas_interpret is None:
+        pallas_interpret = jax.default_backend() in ("cpu",)
     if packed is None:
         packed = prepare_resident(ip, spec, cfg)
     bt_a = cfg.bit_a
@@ -580,8 +593,21 @@ def forward_q_int_serve(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     hc = jnp.clip(jnp.round(h / in_scale), bt_a.lower_bound,
                   bt_a.upper_bound).astype(I8)
     hc = jnp.pad(hc, ((0, 0), (0, npad - N), (0, 0)))
-    out = resident_codes(packed, hc.reshape(B * npad, -1), n_real=N,
-                         bits=cfg.bit_s.bits, lis=cfg.lis, nelems=B,
-                         interpret=pallas_interpret)
-    hc_out = out.reshape(B, npad, -1)[:, :N]
+
+    def run_chunk(hc_chunk):  # (b, npad, C) int8 codes -> codes out
+        b = hc_chunk.shape[0]
+        out = resident_codes(packed, hc_chunk.reshape(b * npad, -1),
+                             n_real=N, bits=cfg.bit_s.bits, lis=cfg.lis,
+                             nelems=b, interpret=pallas_interpret)
+        return out.reshape(b, npad, -1)
+
+    if microbatch is None or B <= microbatch:
+        out = run_chunk(hc)
+    else:
+        pad = (-B) % microbatch
+        hcp = jnp.pad(hc, ((0, pad), (0, 0), (0, 0)))
+        chunks = hcp.reshape(-1, microbatch, npad, hc.shape[-1])
+        out = jax.lax.map(run_chunk, chunks)
+        out = out.reshape(-1, npad, out.shape[-1])[:B]
+    hc_out = out[:, :N]
     return _head_tail(ip, spec, cfg, None, hc_out)

@@ -1,15 +1,22 @@
 """Resident whole-model serving kernel (Pallas/Mosaic, TPU).
 
-Small-batch serving latency is dispatch-bound, not compute-bound: the
-measured DeiT-S b1 integer step (0.80 ms, docs/PERF_ANALYSIS.md "Batch-1
-serving anatomy") spends most of its time launching ~24 kernels plus the
-XLA fence glue between them, each working for a few microseconds on
-(197, C)-sized tensors.  This kernel runs the ENTIRE transformer stack in
-ONE ``pallas_call``: ``grid=(depth,)`` steps once per layer, per-layer
-weight blocks stream from HBM via BlockSpec index maps (Mosaic
-double-buffers them across grid steps), and the residual stream lives as
-int8 codes in the OUTPUT buffer, whose constant index map keeps it
-resident in VMEM from layer 0 to layer ``depth``.
+This kernel runs the ENTIRE transformer stack in ONE ``pallas_call``:
+``grid=(depth,)`` steps once per layer, per-layer weight blocks stream
+from HBM via BlockSpec index maps (Mosaic double-buffers them across grid
+steps), and the residual stream lives as int8 codes in the OUTPUT buffer,
+whose constant index map keeps it resident in VMEM from layer 0 to layer
+``depth``.
+
+Measured verdict (device-chained, real chip — docs/PERF_ANALYSIS.md
+"Batch-1 serving anatomy"): ~parity with the per-kernel path at b1
+(0.462 vs 0.453 ms DeiT-S int4), slower at b8 (1.52 vs 1.28 ms), scoped-
+VMEM OOM at b16 (26.8 MB needed vs the 16 MB limit).  The hypothesis
+that motivated it — per-kernel launch overhead dominating the b1 step —
+was an artifact of HOST-dispatched timing through the tunnel (0.80-1.34
+ms across runs for a 0.45 ms chip step); kernels inside one compiled XLA
+program launch back-to-back with negligible cost on this hardware.  Kept
+as an opt-in serving mode (IntModel(resident=True)) and as the measured
+record of that result.
 
 Per grid step (= one encoder block), op-for-op the integer codes path of
 ``models/vit_int.forward_q_int``:
@@ -116,16 +123,18 @@ def _serve_kernel(x_ref, wqkv_ref, wproj_ref, w1_ref, w2_ref, mb_ref,
     rows = out_ref.shape[0]
     npad = rows // nelems
 
+    # scal rides as the FULL (depth, NS) SMEM array (a (1, NS) block would
+    # violate Mosaic's block-shape rules), indexed by the grid step
     vec = lambda k: vec_ref[0, k][None, :]
-    s_a = scal_ref[0, _S_SA]
-    c1 = scal_ref[0, _S_C1]
-    s1_over_s2 = scal_ref[0, _S_S1_OVER_S2]
-    s_m1_inv = scal_ref[0, _S_M1_INV]
+    s_a = scal_ref[i, _S_SA]
+    c1 = scal_ref[i, _S_C1]
+    s1_over_s2 = scal_ref[i, _S_S1_OVER_S2]
+    s_m1_inv = scal_ref[i, _S_M1_INV]
 
     codes = out_ref[...].astype(jnp.float32)                  # (rows, C)
 
     # ---- int LayerNorm 1 -> qkv input codes ----
-    x1 = _ln_emit(codes, vec(_V_LN1_MASK), scal_ref[0, _S_LN1_MIN],
+    x1 = _ln_emit(codes, vec(_V_LN1_MASK), scal_ref[i, _S_LN1_MIN],
                   vec(_V_LN1_W), vec(_V_LN1_B), vec(_V_LN1_OUT))
     x1_i8 = x1.astype(jnp.int8)
 
@@ -187,7 +196,7 @@ def _serve_kernel(x_ref, wqkv_ref, wproj_ref, w1_ref, w2_ref, mb_ref,
     hc2 = jnp.clip(jnp.round(hs / s_blk2), -128.0, 127.0)
 
     # ---- int LayerNorm 2 (norm2 channel-rescale quirk) ----
-    x2 = _ln_emit(hc2, vec(_V_LN2_MASK), scal_ref[0, _S_LN2_MIN],
+    x2 = _ln_emit(hc2, vec(_V_LN2_MASK), scal_ref[i, _S_LN2_MIN],
                   vec(_V_LN2_W), vec(_V_LN2_B), vec(_V_LN2_OUT),
                   rescale=vec(_V_LN2_RESCALE))
     x2_i8 = x2.astype(jnp.int8)
@@ -337,8 +346,7 @@ def resident_codes(packed, x_codes, *, n_real, bits=4, lis=True, nelems,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, c), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _NS), lambda i: (i, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((rows, c), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),

@@ -97,6 +97,12 @@ def build_parser():
                    help="serve a --save-int artifact: skip checkpoint "
                         "loading AND calibration, validate the integer "
                         "path directly (engine.load_int_model)")
+    p.add_argument("--resident", action="store_true",
+                   help="with --load-int (ViT family, single chip): serve "
+                        "via the resident whole-encoder Pallas kernel "
+                        "(ops/pallas/serve.py; measured ~parity with the "
+                        "default path at batch 1, slower above — see "
+                        "docs/PERF_ANALYSIS.md)")
     return p
 
 
@@ -146,9 +152,11 @@ def main(argv=None):
         from diffvit_tpu.engine import load_int_model
 
         model = load_int_model(args.load_int, mesh=mesh,
-                               input_norm=(pp.mean, pp.std))
+                               input_norm=(pp.mean, pp.std),
+                               resident=args.resident)
         print(f"Serving int artifact: {args.load_int} "
-              f"({model.spec.name})")
+              f"({model.spec.name})"
+              + (" [resident kernel]" if args.resident else ""))
     else:
         model = QuantizedViT(args.model, cfg, checkpoint=args.checkpoint,
                              seed=args.seed, mesh=mesh,

@@ -99,6 +99,35 @@ def test_int_export_u8_wire(calibrated_vit):
                                   np.asarray(served(f32)))
 
 
+def test_int_export_resident_serving(calibrated_vit):
+    """load_int_model(resident=True) serves through the whole-encoder
+    Pallas kernel (interpret mode on CPU); logits agree with the
+    per-kernel serving path at the serve-kernel tolerance (f32 LN
+    reduction order is the only licensed divergence)."""
+    m, x = calibrated_vit
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "deit.npz")
+        m.save_int_model(p)
+        served = load_int_model(p)
+        resident = load_int_model(p, resident=True)
+    ref = np.asarray(served(x))
+    got = np.asarray(resident(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    assert np.argmax(got, -1).tolist() == np.argmax(ref, -1).tolist()
+
+
+def test_int_export_resident_rejects_swin():
+    params = swin.init_swin_params(SWIN_TINY, jax.random.PRNGKey(0))
+    m = QuantizedViT(SWIN_TINY, QuantConfig(), params=params)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (2, 3, 56, 56)))
+    m.calibrate(x)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "swin.npz")
+        m.save_int_model(p)
+        with pytest.raises(ValueError, match="ViT family"):
+            load_int_model(p, resident=True)
+
+
 def test_int_export_swin():
     params = swin.init_swin_params(SWIN_TINY, jax.random.PRNGKey(0))
     m = QuantizedViT(SWIN_TINY, QuantConfig(), params=params)

@@ -65,6 +65,23 @@ def test_resident_serve_packed_reuse(setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_resident_serve_microbatched(setup):
+    """Batches above ``microbatch`` chunk through the kernel via lax.map
+    (the resident VMEM footprint exceeds the 16 MB scoped limit around
+    b16 on DeiT-S); a non-divisible batch exercises the pad+slice path
+    and must match the unchunked forward exactly."""
+    params, qp, cfg, x = setup
+    bc = (4,) * vit.num_bit_slots(TINY)
+    ip = vit_int.prepare_int(params, qp, TINY, cfg, bc)
+    x3 = jnp.concatenate([x, x[:1] * 0.5])  # B=3, microbatch=2 -> pad 1
+    ref = vit_int.forward_q_int_serve(ip, TINY, cfg, x3,
+                                      pallas_interpret=True,
+                                      microbatch=None)
+    got = vit_int.forward_q_int_serve(ip, TINY, cfg, x3,
+                                      pallas_interpret=True, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_prepare_resident_rejects_fp_sites(setup):
     params, qp, cfg, x = setup
     bc = [4] * vit.num_bit_slots(TINY)
