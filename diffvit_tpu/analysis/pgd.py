@@ -100,14 +100,19 @@ def gen_profiling_adv_inputs(model, inputs, key=None, quant=False,
     return attack(inputs, y, key=key, init_noise=init_noise)
 
 
+def _hashable_bits(bit_config):
+    """Normalize a bit_config for use as a jit-cache key: ints pass
+    through (Swin's uniform mode), sequences become int tuples — both
+    model families' forward_q accept either form (swin.forward_q
+    normalizes per-slot tuples via normalize_bit_config)."""
+    if bit_config is None or isinstance(bit_config, int):
+        return bit_config
+    return tuple(int(b) for b in bit_config)
+
+
 def _engine_forward(model, quant, bit_config):
     """logits-only forward over an engine.QuantizedViT."""
-    if bit_config is not None:
-        if model.is_swin:
-            bit_config = int(bit_config if isinstance(bit_config, int)
-                             else bit_config[0])
-        else:
-            bit_config = tuple(int(b) for b in bit_config)
+    bit_config = _hashable_bits(bit_config)
 
     def fwd(x):
         return model._forward_fn(quant, bit_config)(
@@ -133,11 +138,7 @@ class AttackPGD:
         self._gen = make_pgd(fwd, epsilon, step_size, num_steps)
 
     def _norm_bits(self, bc):
-        if bc is None:
-            return None
-        if self.model.is_swin:
-            return int(bc if isinstance(bc, int) else bc[0])
-        return tuple(int(b) for b in bc)
+        return _hashable_bits(bc)
 
     def gen_adv_inputs(self, inputs, labels, key=None):
         key = key if key is not None else jax.random.PRNGKey(0)

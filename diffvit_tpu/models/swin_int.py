@@ -40,7 +40,7 @@ def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
         site["b"] = lin.get("b")
         return site
 
-    ip = {"bit": bc[0], "layers": [], "qp": qp}
+    ip = {"bit_config": tuple(bc), "layers": [], "qp": qp}
     pe = params["patch_embed"]
     ip["patch"] = w_site("patch.w", pe["proj"], 0)
     ip["patch_norm"] = pe["norm"]

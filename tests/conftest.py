@@ -21,3 +21,25 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(scope="session")
+def smooth_jpeg():
+    """Writer for natural-image-like JPEG fixtures: smooth gradients +
+    low-freq structure (pure noise is adversarial to both JPEG and
+    resampling) — the content class the fast-decode benches are
+    calibrated on (docs/PERF_ANALYSIS.md).  Session-scoped stateless
+    helper shared by the native-decode and u8-wire test modules."""
+    from PIL import Image
+
+    def write(path, w, h, seed=0):
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        rng = np.random.default_rng(seed)
+        img = np.stack([
+            128 + 90 * np.sin(xx / w * 7 + c) * np.cos(yy / h * 5 - c)
+            + rng.normal(0, 4, (h, w))
+            for c in range(3)], axis=-1)
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), "RGB").save(
+            path, quality=92)
+
+    return write

@@ -77,6 +77,35 @@ def test_pgd_moves_inputs_within_ball(model):
     assert d.max() > 1e-4  # actually moved
 
 
+def test_profiling_attack_honors_swin_per_slot_bits():
+    """Regression: the attack drivers used to truncate a Swin per-slot
+    bit_config to bit_config[0] (the always-8 patch slot), so profiling
+    inputs were generated against a uniform-8 model instead of the mixed
+    one.  The attacked forward (pgd._engine_forward — exactly what
+    gen_profiling_adv_inputs/AttackPGD differentiate through) must see
+    the mixed weights: its logits must differ from uniform-8's.  (The
+    adversarial *inputs* themselves are too weak a discriminator here:
+    sign(grad) agrees everywhere at this tiny scale.)"""
+    from diffvit_tpu.analysis.pgd import _engine_forward
+    from diffvit_tpu.models import swin
+
+    spec = swin.SwinSpec("swin_pgd", embed_dim=32, depths=(1, 1),
+                         num_heads=(2, 4), img_size=56, num_classes=10)
+    m = QuantizedViT(spec, QuantConfig(),
+                     params=swin.init_swin_params(spec,
+                                                  jax.random.PRNGKey(0)))
+    m.calibrate(jax.random.normal(jax.random.PRNGKey(1), (2, 3, 56, 56)))
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 3, 56, 56))
+    n = swin.num_bit_slots(spec)
+    mixed = tuple(8 if i % 2 == 0 else 4 for i in range(n))
+    l_mixed = np.asarray(_engine_forward(m, True, mixed)(x))
+    l_uni8 = np.asarray(_engine_forward(m, True, 8)(x))
+    assert not np.allclose(l_mixed, l_uni8)
+    # and the uniform tuple collapses to the same compiled fn as the int
+    np.testing.assert_array_equal(
+        np.asarray(_engine_forward(m, True, tuple([8] * n))(x)), l_uni8)
+
+
 def test_ddv_similarity_self_is_100(model):
     x = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 224, 224))
     adv = x + 0.05

@@ -9,24 +9,10 @@ import tempfile
 
 import numpy as np
 import pytest
-from PIL import Image
 
 pytest.importorskip("diffvit_tpu.data.native_decode")
 
 from diffvit_tpu.data import native_decode  # noqa: E402
-
-
-def _smooth_jpeg(path, w, h, seed=0):
-    """Natural-image-like content: smooth gradients + low-freq structure
-    (pure noise is adversarial to both JPEG and resampling)."""
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    rng = np.random.default_rng(seed)
-    img = np.stack([
-        128 + 90 * np.sin(xx / w * 7 + c) * np.cos(yy / h * 5 - c)
-        + rng.normal(0, 4, (h, w))
-        for c in range(3)], axis=-1)
-    Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), "RGB").save(
-        path, quality=92)
 
 
 @pytest.fixture(scope="module")
@@ -38,10 +24,10 @@ def lib():
     return native_decode
 
 
-def test_fast_close_to_exact_on_large_image(lib):
+def test_fast_close_to_exact_on_large_image(lib, smooth_jpeg):
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "big.jpg")
-        _smooth_jpeg(p, 1024, 768)
+        smooth_jpeg(p, 1024, 768)
         exact = lib.decode_preprocess(p)
         fast = lib.decode_preprocess(p, fast=True)
         assert exact.shape == fast.shape == (3, 224, 224)
@@ -53,22 +39,22 @@ def test_fast_close_to_exact_on_large_image(lib):
         assert corr > 0.998, corr
 
 
-def test_fast_equals_exact_when_no_downscale_applies(lib):
+def test_fast_equals_exact_when_no_downscale_applies(lib, smooth_jpeg):
     # short side below resize target (256) -> scale stays 8/8 -> the fast
     # path IS the exact path
     with tempfile.TemporaryDirectory() as d:
         p = os.path.join(d, "small.jpg")
-        _smooth_jpeg(p, 300, 200)
+        smooth_jpeg(p, 300, 200)
         np.testing.assert_array_equal(lib.decode_preprocess(p),
                                       lib.decode_preprocess(p, fast=True))
 
 
-def test_fast_batch_matches_per_item(lib):
+def test_fast_batch_matches_per_item(lib, smooth_jpeg):
     with tempfile.TemporaryDirectory() as d:
         paths = []
         for i, (w, h) in enumerate([(1024, 768), (640, 480), (300, 200)]):
             p = os.path.join(d, f"im{i}.jpg")
-            _smooth_jpeg(p, w, h, seed=i)
+            smooth_jpeg(p, w, h, seed=i)
             paths.append(p)
         batch = lib.decode_preprocess_batch(paths, fast=True)
         for i, p in enumerate(paths):
@@ -80,15 +66,15 @@ def test_fast_batch_matches_per_item(lib):
             exact_batch[0], lib.decode_preprocess(paths[0]))
 
 
-def test_native_loader_fast_mode(lib):
+def test_native_loader_fast_mode(lib, smooth_jpeg):
     from diffvit_tpu.data.imagenet import (ImageFolder, NativeJpegLoader,
                                            build_transform)
 
     with tempfile.TemporaryDirectory() as root:
         os.makedirs(os.path.join(root, "c0"))
         for i in range(4):
-            _smooth_jpeg(os.path.join(root, "c0", f"{i}.jpg"),
-                         700, 500, seed=i)
+            smooth_jpeg(os.path.join(root, "c0", f"{i}.jpg"),
+                        700, 500, seed=i)
         ds = ImageFolder(root, build_transform())
         exact = list(NativeJpegLoader(ds, batch_size=4))
         fast = list(NativeJpegLoader(ds, batch_size=4, fast=True))

@@ -19,17 +19,6 @@ pytest.importorskip("diffvit_tpu.data.native_decode")
 from diffvit_tpu.data import native_decode  # noqa: E402
 
 
-def _smooth_jpeg(path, w, h, seed=0):
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    rng = np.random.default_rng(seed)
-    img = np.stack([
-        128 + 90 * np.sin(xx / w * 7 + c) * np.cos(yy / h * 5 - c)
-        + rng.normal(0, 4, (h, w))
-        for c in range(3)], axis=-1)
-    Image.fromarray(np.clip(img, 0, 255).astype(np.uint8), "RGB").save(
-        path, quality=92)
-
-
 @pytest.fixture(scope="module")
 def lib():
     try:
@@ -40,12 +29,12 @@ def lib():
 
 
 @pytest.fixture(scope="module")
-def jpeg_root(lib):
+def jpeg_root(lib, smooth_jpeg):
     with tempfile.TemporaryDirectory() as root:
         os.makedirs(os.path.join(root, "c0"))
         for i, (w, h) in enumerate([(500, 375), (300, 200), (640, 480),
                                     (224, 224)]):
-            _smooth_jpeg(os.path.join(root, "c0", f"{i}.jpg"), w, h, seed=i)
+            smooth_jpeg(os.path.join(root, "c0", f"{i}.jpg"), w, h, seed=i)
         yield root
 
 
@@ -85,14 +74,14 @@ def test_native_loader_u8_mode(lib, jpeg_root):
     np.testing.assert_array_equal(np.asarray(device_normalize(u8)), f32)
 
 
-def test_native_loader_u8_pil_fallback(lib, jpeg_root):
+def test_native_loader_u8_pil_fallback(lib, smooth_jpeg):
     """A PNG in the folder forces the per-item path; its PIL fallback must
     produce the same uint8 crop geometry and normalize to the f32 value."""
     with tempfile.TemporaryDirectory() as root:
         os.makedirs(os.path.join(root, "c0"))
         for i in range(2):
-            _smooth_jpeg(os.path.join(root, "c0", f"{i}.jpg"), 300, 240,
-                         seed=i)
+            smooth_jpeg(os.path.join(root, "c0", f"{i}.jpg"), 300, 240,
+                        seed=i)
         rng = np.random.default_rng(7)
         Image.fromarray(rng.integers(0, 256, (250, 300, 3), np.uint8),
                         "RGB").save(os.path.join(root, "c0", "zz.png"))
