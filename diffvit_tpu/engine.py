@@ -28,8 +28,10 @@ class QuantizedViT:
 
     Each distinct (bit_config, quantized?) pair traces once; subsequent
     batches reuse the compiled executable (SURVEY.md §7 design point 4).
-    For Swin specs, ``bit_config`` is a single uniform weight bit (the
-    reference Swin has no per-layer bit plumbing, swin_quant.py:813-817).
+    For Swin specs, ``bit_config`` is a uniform weight bit (the reference
+    Swin's only mode, swin_quant.py:813-817) or a per-slot sequence over
+    the generalized §2.6 contract (swin.num_bit_slots slots — the
+    mixed-precision extension; see swin.normalize_bit_config).
     """
 
     def __init__(self, name_or_spec, cfg: QuantConfig | None = None,
@@ -110,7 +112,7 @@ class QuantizedViT:
     def prepare_int(self, bit_config=None):
         """Bake the calibrated model into the integer execution path (real
         int8 MXU matmuls) for ``bit_config``; cached per config.  For Swin,
-        bit_config is the uniform weight bit."""
+        bit_config is the uniform weight bit or a per-slot sequence."""
         if self.qparams is None:
             raise RuntimeError("calibrate first")
         if self.is_swin:
