@@ -128,6 +128,8 @@ class QuantizedViT:
             if key not in self._jit_cache:
                 ip = int_mod.prepare_int(self.params, self.qparams,
                                          self.spec, self.cfg, bit)
+                if self.mesh is not None:
+                    ip = mesh_mod.shard_int_params(self.mesh, ip)
                 self._jit_cache[key] = jax.jit(
                     lambda x: int_mod.forward_q_int(ip, self.spec,
                                                     self.cfg, self._prep(x)))

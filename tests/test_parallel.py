@@ -75,3 +75,36 @@ def test_int_path_sharded_matches_single(eight_devices):
     sharded.qparams = single.qparams
     got = np.asarray(sharded(x, use_int=True))
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_swin_sharded_eval_matches_single(eight_devices):
+    """The second model family under the same (dp,tp) mesh: Swin's param
+    pytree hits the identical megatron path rules (qkv/fc1 row, proj/fc2
+    column over tp), and both the fake-quant and integer paths must match
+    the single-device results.  Guards the engine's Swin prepare_int
+    mesh-sharding branch (it historically only sharded the ViT pytree)."""
+    from diffvit_tpu import engine
+    from diffvit_tpu.models import swin
+
+    spec = swin.SwinSpec("swin_par", embed_dim=32, depths=(1, 1),
+                         num_heads=(2, 4), img_size=56, num_classes=10)
+    cfg = QuantConfig()
+    params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((8, 3, 56, 56)) \
+        .astype("float32")
+
+    single = engine.QuantizedViT(spec, cfg, params=params)
+    single.calibrate(x[:2])
+    ref_fq = np.asarray(single(x))
+    ref_int = np.asarray(single(x, use_int=True))
+
+    m = mesh_mod.make_mesh(8, tp=2)
+    sharded = engine.QuantizedViT(spec, cfg, params=params, mesh=m)
+    sharded.qparams = single.qparams
+    # tp actually sharded the attention/MLP weights (not all-replicated)
+    qkv = sharded.params["layers"][0]["blocks"][0]["qkv"]["w"]
+    assert qkv.sharding.spec == mesh_mod.P("tp", None)
+    np.testing.assert_allclose(np.asarray(sharded(x)), ref_fq,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(sharded(x, use_int=True)),
+                               ref_int, rtol=2e-4, atol=2e-4)
