@@ -4,15 +4,19 @@ Rebuild of /root/reference/generate_data.py (+utils/kde.py): optimize
 Gaussian-noise images with Adam against (a) cross-entropy to random pseudo
 labels, (b) a total-variation prior anchored to a random target variance,
 and (c) the negative KDE differential entropy of the per-sample cosine
-similarity of attention maps (patch rows, heads-averaged) — with
+similarity of the attention *context* rows — the reference hooks the
+OUTPUT of ``attn.matmul2`` (attn @ v, shape (B, H, N, hd)) and averages
+over heads (generate_data.py:22-30,99-111), NOT the softmax probs — with
 DeepInversion-style jitter/flip augmentation, a cosine LR schedule, and
-per-channel clipping to the ImageNet-normalized valid range.
+per-channel clipping to the ImageNet-normalized valid range.  Works for
+both model families like the reference (generate_data.py:41-47: per-block
+hooks for ViT/DeiT, per-stage-block hooks + lr 0.25 for Swin).
 
 The reference drives a *timm* pretrained model as the prior
 (utils/build_model.py); this environment has no timm/network, so by
 default the prior is this framework's own FP model (the architecture is
-identical and the attention maps come from the ``blocks.i.attn.probs``
-taps).  A separately-trained prior can be supplied via ``prior_params`` /
+identical and the context maps come from the ``…attn.ctx`` taps).  A
+separately-trained prior can be supplied via ``prior_params`` /
 ``prior_spec`` (the CLI's --prior-checkpoint loads a local .pth/.npz),
 which closes the gap fully when weights exist on disk.
 """
@@ -24,7 +28,39 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from ..models import swin as swin_mod
 from ..models import vit as vit_mod
+
+
+def _ctx_hooks(spec):
+    """Ordered (tap-name, num_heads) of every attention matmul2 hook, the
+    JAX analogue of the reference's AttentionMap hook registration
+    (generate_data.py:41-47)."""
+    if isinstance(spec, swin_mod.SwinSpec):
+        return [(f"layers.{s}.blocks.{bi}.attn.ctx", spec.num_heads[s])
+                for s in range(spec.num_layers)
+                for bi in range(spec.depths[s])]
+    return [(f"blocks.{i}.attn.ctx", spec.num_heads)
+            for i in range(spec.depth)]
+
+
+def attention_entropy(ctx, num_heads, batch_size):
+    """-H of the KDE of pairwise row cosine similarities of one hook's
+    head-averaged context (generate_data.py:99-111).  ``ctx`` is the merged
+    (B_, N, H·hd) matmul2 output; reshaping to (B_, N, H, hd) and averaging
+    axis 2 equals the reference's ``feature.mean(dim=1)`` on (B_, H, N, hd).
+    Row 0 is dropped like the reference (CLS for ViT; for Swin B_ = B·nW
+    windows and the first in-window patch row is dropped, and ``view(B,-1)``
+    pools all windows of an image — replicated)."""
+    b_, n, c = ctx.shape
+    a = ctx.reshape(b_, n, num_heads, c // num_heads).mean(axis=2)[:, 1:, :]
+    a = a / (jnp.linalg.norm(a, axis=-1, keepdims=True) + 1e-12)
+    sims = a @ a.transpose(0, 2, 1)
+    flat = sims.reshape(batch_size, -1)
+    x_plot = jnp.broadcast_to(jnp.linspace(jnp.min(sims), jnp.max(sims), 10),
+                              (batch_size, 10))
+    kde_est = gaussian_kde(flat, x_plot)
+    return -differential_entropy(kde_est, x_plot)
 
 
 def total_variation(x):
@@ -79,7 +115,7 @@ def generate_data(params, spec, *, batch_size=32, seed=0, iters_per_epoch=500,
                   tv_weight=0.05, log=None, prior_params=None,
                   prior_spec=None):
     """Synthesize a calibration batch (generate_data.py:33-125).
-    Returns (batch_size, 3, 224, 224) float32 images.
+    Returns (batch_size, 3, spec.img_size, spec.img_size) float32 images.
     prior_params/prior_spec: use a separate pretrained prior (the
     reference's timm model role) instead of ``params`` itself."""
     if prior_params is not None:
@@ -87,11 +123,18 @@ def generate_data(params, spec, *, batch_size=32, seed=0, iters_per_epoch=500,
         spec = prior_spec if prior_spec is not None else spec
     key = jax.random.PRNGKey(seed)
     k_img, k_label, k_var, key = jax.random.split(key, 4)
-    img = jax.random.normal(k_img, (batch_size, 3, 224, 224))
+    # reference is always 224 (generate_data.py:50); spec.img_size == 224
+    # for every zoo model — honoring it keeps tiny test specs cheap
+    img = jax.random.normal(k_img, (batch_size, 3, spec.img_size,
+                                    spec.img_size))
     pred = jax.random.randint(k_label, (batch_size,), 0, spec.num_classes)
     var_pred = float(jax.random.uniform(k_var, (), minval=2500.0,
                                         maxval=3000.0))
-    base_lr = lr if lr is not None else 0.20
+    is_swin = isinstance(spec, swin_mod.SwinSpec)
+    # reference lr: 0.25 for swin, 0.20 otherwise (generate_data.py:54)
+    base_lr = lr if lr is not None else (0.25 if is_swin else 0.20)
+    fwd = swin_mod.forward_fp if is_swin else vit_mod.forward_fp
+    hooks = _ctx_hooks(spec)
 
     def loss_fn(img, img_jit_params):
         off, flip = img_jit_params
@@ -99,7 +142,7 @@ def generate_data(params, spec, *, batch_size=32, seed=0, iters_per_epoch=500,
         x = jnp.where(flip, x[:, :, :, ::-1], x)
 
         taps: list = []
-        logits = vit_mod.forward_fp(params, spec, x, taps=taps)
+        logits = fwd(params, spec, x, taps=taps)
         tapd = dict(taps)
 
         logp = jax.nn.log_softmax(logits)
@@ -107,19 +150,9 @@ def generate_data(params, spec, *, batch_size=32, seed=0, iters_per_epoch=500,
         loss_tv = jnp.abs(total_variation(x) - var_pred)
 
         loss_entropy = 0.0
-        for i in range(spec.depth):
-            attn = tapd[f"blocks.{i}.attn.probs"]  # (B, H, N, N)
-            attn_p = attn.mean(axis=1)[:, 1:, :]   # drop cls row
-            a = attn_p / (jnp.linalg.norm(attn_p, axis=-1, keepdims=True)
-                          + 1e-12)
-            sims = a @ a.transpose(0, 2, 1)        # cosine similarity matrix
-            flat = sims.reshape(batch_size, -1)
-            start = jnp.min(sims)
-            end = jnp.max(sims)
-            x_plot = jnp.broadcast_to(jnp.linspace(start, end, 10),
-                                      (batch_size, 10))
-            kde_est = gaussian_kde(flat, x_plot)
-            loss_entropy = loss_entropy - differential_entropy(kde_est, x_plot)
+        for name, nh in hooks:
+            loss_entropy = loss_entropy + attention_entropy(
+                tapd[name], nh, batch_size)
 
         return entropy_weight * loss_entropy + oh_weight * loss_oh \
             + tv_weight * loss_tv

@@ -346,11 +346,21 @@ def forward_fp(params, spec: SwinSpec, x, taps=None):
                 tap(f"layers.{s}.blocks.{bi}.attn.proj", out)
                 return out
 
+            def ctx_fn(t):
+                # PSAQ-ViT hooks attn.matmul2's output (attn @ v) for Swin
+                # too (generate_data.py:41-45 + build_model.py:53); the
+                # qact3 fence sees exactly that tensor merged to
+                # (B*nW, n, C) — per-head mean recovered by reshape in
+                # analysis/datagen.py.
+                tap(f"layers.{s}.blocks.{bi}.attn.ctx", t)
+                return t
+
             aw = _attn_core(
                 yw, blk, spec, s, geom,
                 partial(jax.nn.softmax, axis=-1),
                 {"qkv": qkv_fn, "qact_attn1": id_, "qact_table": id_,
-                 "qact2": id_, "qact3": id_, "proj": proj_fn, "qact4": id_})
+                 "qact2": id_, "qact3": ctx_fn, "proj": proj_fn,
+                 "qact4": id_})
             h = shortcut + _unwindows(aw, res, ws, shift, h.shape[0])
 
             y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)

@@ -240,8 +240,12 @@ def forward_fp(params, spec: ViTSpec, x, taps=None, *, training=False,
         qkv = y @ blk["qkv"]["w"].T + blk["qkv"]["b"]
         tap(f"blocks.{i}.attn.qkv", qkv)
         tap(f"blocks.{i}.attn", qkv)  # Attention.qkv_output cache
-        y, probs = _sdpa(qkv, spec, partial(jax.nn.softmax, axis=-1))
-        tap(f"blocks.{i}.attn.probs", probs)  # PSAQ-ViT attention-map hook
+        y, _ = _sdpa(qkv, spec, partial(jax.nn.softmax, axis=-1))
+        # PSAQ-ViT hooks attn.matmul2's OUTPUT (attn @ v), not the softmax
+        # probs (generate_data.py:22-30,41-47 + utils/build_model.py:22);
+        # the merged (B,N,C) layout here is (B,N,H,hd) row-major, so the
+        # head mean is recovered by a reshape in analysis/datagen.py.
+        tap(f"blocks.{i}.attn.ctx", y)
         y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
         tap(f"blocks.{i}.attn.proj", y)
         h = h + drop_path(y, dpr[i], training=training, rng=keys[2 * i])

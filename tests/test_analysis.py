@@ -222,6 +222,55 @@ def test_datagen_smoke():
     assert float(jnp.max(img)) <= (1 - 0.406) / 0.224 + 1e-3
 
 
+def test_datagen_swin_smoke():
+    from diffvit_tpu.analysis.datagen import generate_data
+    from diffvit_tpu.models import swin
+
+    spec = swin.SwinSpec("dg_swin", embed_dim=32, depths=(1, 1),
+                         num_heads=(2, 4), img_size=56, num_classes=10)
+    params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
+    img = generate_data(params, spec, batch_size=2, iters_per_epoch=2,
+                        epochs=1)
+    assert img.shape == (2, 3, 56, 56)
+    assert np.all(np.isfinite(np.asarray(img)))
+
+
+def test_attention_entropy_matches_reference_formula():
+    """Our head-averaged-context entropy term vs a torch transcription of
+    the reference's hook consumption (generate_data.py:99-111): the hook
+    captures matmul2's output (B, H, N, hd); feature.mean(dim=1)[:, 1:, :]
+    rows go through pairwise cosine similarity -> KDE -> -entropy."""
+    import torch
+
+    from diffvit_tpu.analysis.datagen import attention_entropy
+
+    rng = np.random.default_rng(3)
+    b, nh, n, hd = 2, 2, 9, 8
+    per_head = rng.standard_normal((b, nh, n, hd)).astype("float32")
+
+    # torch side: straight from the reference loop
+    att = torch.from_numpy(per_head)
+    attention_p = att.mean(dim=1)[:, 1:, :]
+    sims = torch.cosine_similarity(attention_p.unsqueeze(1),
+                                   attention_p.unsqueeze(2), dim=3)
+    flat = sims.view(b, -1)
+    start_p, end_p = sims.min().item(), sims.max().item()
+    x_plot = torch.linspace(start_p, end_p, steps=10).repeat(b, 1)
+    var = 0.01**2
+    coef = 1.0 / np.sqrt(2 * np.pi * var)
+    kde = (coef * torch.exp(-((x_plot[:, :, None] - flat[:, None, :]) ** 2)
+                            / (2 * var))).mean(dim=-1)
+    pdf = kde + 1e-4
+    ref = float(-torch.trapezoid(-pdf * torch.log(pdf), x_plot,
+                                 dim=-1).mean())
+
+    # our side consumes the merged (B, N, H*hd) tap; (B,H,N,hd) merges by
+    # transpose(0,2,1,3).reshape — the exact layout forward_fp taps
+    merged = jnp.asarray(per_head.transpose(0, 2, 1, 3).reshape(b, n, -1))
+    got = float(attention_entropy(merged, nh, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
 def test_plotting_roundtrip(tmp_path):
     import pickle
 

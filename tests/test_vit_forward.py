@@ -36,7 +36,7 @@ def test_forward_fp_taps(setup):
     assert "blocks.0.attn.qkv" in names
     assert "blocks.1.mlp.fc2" in names
     assert "head" in names
-    # 1 patch + 7 per block (qkv, attn-cache, probs, proj, fc1, mlp-cache,
+    # 1 patch + 7 per block (qkv, attn-cache, ctx, proj, fc1, mlp-cache,
     # fc2) + 1 head
     assert len(taps) == 1 + 7 * TINY.depth + 1
 
