@@ -353,6 +353,31 @@ def run_matrix():
     return payload
 
 
+def _device_ready(timeout_s=900):
+    """Probe backend init in a daemon thread.  The axon tunnel, when down,
+    makes ``jax.devices()`` HANG (observed >500 s, 2026-08-17) rather than
+    raise — without a watchdog the driver's bench run would produce no
+    record at all.  Generous timeout: a healthy first init through the
+    tunnel can take minutes."""
+    import threading
+
+    ok = []
+
+    def probe():
+        try:
+            import jax
+
+            jax.devices()
+            ok.append(True)
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="deit_small")
@@ -367,6 +392,23 @@ def main():
                     help="measure the full BASELINE.json config set and "
                          "write BENCH_MATRIX.json")
     args = ap.parse_args()
+
+    if not _device_ready():
+        import sys
+
+        out = {
+            "metric": f"{args.model}_int{args.bits}_{args.path}_throughput",
+            "value": 0.0,
+            "unit": "images/sec/chip",
+            "vs_baseline": 0.0,
+            "error": "device backend init timed out (axon tunnel down); "
+                     "see BENCH_MATRIX.json for the last measured rows",
+        }
+        if os.path.exists(MATRIX_PATH):
+            with open(MATRIX_PATH) as f:
+                out["extra"] = json.load(f)["rows"]
+        print(json.dumps(out))
+        sys.exit(1)
 
     if args.matrix:
         run_matrix()
