@@ -354,28 +354,49 @@ def run_matrix():
 
 
 def _device_ready(timeout_s=900):
-    """Probe backend init in a daemon thread.  The axon tunnel, when down,
-    makes ``jax.devices()`` HANG (observed >500 s, 2026-08-17) rather than
-    raise — without a watchdog the driver's bench run would produce no
-    record at all.  Generous timeout: a healthy first init through the
-    tunnel can take minutes."""
+    """Probe backend init in a daemon thread; returns (ok, error_note).
+    The axon tunnel, when down, makes ``jax.devices()`` HANG (observed
+    >500 s, 2026-08-17) rather than raise — without a watchdog the
+    driver's bench run would produce no record at all.  A CPU-only
+    backend also fails the probe: these are chip rows, and a silent
+    axon→CPU fallback would record 1-core numbers against the 5000
+    img/s chip target.  Generous timeout: a healthy first init through
+    the tunnel can take minutes."""
     import threading
 
-    ok = []
+    result = {}
 
     def probe():
         try:
             import jax
 
-            jax.devices()
-            ok.append(True)
-        except Exception:
-            pass
+            platforms = {d.platform for d in jax.devices()}
+            if platforms == {"cpu"}:
+                result["err"] = "only a CPU backend came up (no TPU/axon)"
+            else:
+                result["ok"] = True
+        except Exception as e:  # tunnel handshake / plugin failures
+            result["err"] = f"backend init raised: {e!r}"
 
     t = threading.Thread(target=probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    return bool(ok)
+    if result.get("ok"):
+        return True, None
+    return False, result.get(
+        "err", f"device backend init timed out after {timeout_s}s "
+               "(axon tunnel down)")
+
+
+def _attach_matrix(out):
+    """Attach the last measured matrix rows as "extra" (best effort — a
+    truncated/missing matrix must not prevent the JSON line)."""
+    try:
+        with open(MATRIX_PATH) as f:
+            out["extra"] = json.load(f)["rows"]
+    except Exception:
+        pass
+    return out
 
 
 def main():
@@ -393,7 +414,8 @@ def main():
                          "write BENCH_MATRIX.json")
     args = ap.parse_args()
 
-    if not _device_ready():
+    ready, err = _device_ready()
+    if not ready:
         import sys
 
         out = {
@@ -401,13 +423,10 @@ def main():
             "value": 0.0,
             "unit": "images/sec/chip",
             "vs_baseline": 0.0,
-            "error": "device backend init timed out (axon tunnel down); "
-                     "see BENCH_MATRIX.json for the last measured rows",
+            "error": f"{err}; see BENCH_MATRIX.json for the last "
+                     "measured rows",
         }
-        if os.path.exists(MATRIX_PATH):
-            with open(MATRIX_PATH) as f:
-                out["extra"] = json.load(f)["rows"]
-        print(json.dumps(out))
+        print(json.dumps(_attach_matrix(out)))
         sys.exit(1)
 
     if args.matrix:
@@ -421,10 +440,7 @@ def main():
         "unit": "images/sec/chip",
         "vs_baseline": round(v / TARGET_IMG_PER_SEC, 4),
     }
-    if os.path.exists(MATRIX_PATH):
-        with open(MATRIX_PATH) as f:
-            out["extra"] = json.load(f)["rows"]
-    print(json.dumps(out))
+    print(json.dumps(_attach_matrix(out)))
 
 
 if __name__ == "__main__":
