@@ -271,6 +271,39 @@ def test_attention_entropy_matches_reference_formula():
     np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+def test_attention_entropy_swin_window_pooling():
+    """Swin hooks see (B*nW, H, n, hd) windows; the reference pools all of
+    an image's windows into one KDE row via ``sims.view(batch_size, -1)``
+    (generate_data.py:106).  Pin that pooling (batch_size < leading dim)."""
+    import torch
+
+    from diffvit_tpu.analysis.datagen import attention_entropy
+
+    rng = np.random.default_rng(7)
+    b, nw, nh, n, hd = 2, 4, 2, 9, 4
+    per_head = rng.standard_normal((b * nw, nh, n, hd)).astype("float32")
+
+    att = torch.from_numpy(per_head)
+    attention_p = att.mean(dim=1)[:, 1:, :]
+    sims = torch.cosine_similarity(attention_p.unsqueeze(1),
+                                   attention_p.unsqueeze(2), dim=3)
+    flat = sims.view(b, -1)
+    start_p, end_p = sims.min().item(), sims.max().item()
+    x_plot = torch.linspace(start_p, end_p, steps=10).repeat(b, 1)
+    var = 0.01**2
+    coef = 1.0 / np.sqrt(2 * np.pi * var)
+    kde = (coef * torch.exp(-((x_plot[:, :, None] - flat[:, None, :]) ** 2)
+                            / (2 * var))).mean(dim=-1)
+    pdf = kde + 1e-4
+    ref = float(-torch.trapezoid(-pdf * torch.log(pdf), x_plot,
+                                 dim=-1).mean())
+
+    merged = jnp.asarray(
+        per_head.transpose(0, 2, 1, 3).reshape(b * nw, n, -1))
+    got = float(attention_entropy(merged, nh, b))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
 def test_plotting_roundtrip(tmp_path):
     import pickle
 
