@@ -289,8 +289,8 @@ class IntModel:
             from .models import swin_int as int_mod
         else:
             from .models import vit_int as int_mod
-            if mesh is not None:
-                ip = mesh_mod.shard_int_params(mesh, ip)
+        if mesh is not None:  # both families hit the same megatron rules
+            ip = mesh_mod.shard_int_params(mesh, ip)
         self.ip, self.spec, self.cfg, self.mesh = ip, spec, cfg, mesh
         self.is_swin = is_swin
         mean, std = input_norm

@@ -140,3 +140,25 @@ def test_int_export_swin():
         served = load_int_model(p)
     assert served.spec == SWIN_TINY
     np.testing.assert_array_equal(np.asarray(served(x)), ref)
+
+
+def test_int_export_swin_meshed():
+    """A Swin artifact loaded with mesh= must actually tp-shard its int
+    weights (IntModel historically only sharded the ViT pytree) and serve
+    the single-device logits."""
+    from diffvit_tpu.parallel import mesh as mesh_mod
+
+    params = swin.init_swin_params(SWIN_TINY, jax.random.PRNGKey(0))
+    m = QuantizedViT(SWIN_TINY, QuantConfig(), params=params)
+    x = np.asarray(jax.random.normal(jax.random.PRNGKey(1), (8, 3, 56, 56)))
+    m.calibrate(x[:2])
+    ref = np.asarray(m(x, use_int=True))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "swin.npz")
+        m.save_int_model(p)
+        served = load_int_model(p, mesh=mesh_mod.make_mesh(8, tp=2))
+    qkv = served.ip["layers"][0]["blocks"][0]["qkv"]["w_int"]
+    # w_int is stored (in, out): the qkv output dim is tp-sharded
+    assert qkv.sharding.spec == mesh_mod.P(None, "tp")
+    np.testing.assert_allclose(np.asarray(served(x)), ref,
+                               rtol=2e-4, atol=2e-4)
