@@ -61,17 +61,9 @@ def _chained_throughput(run, batch, steps=20, warmup=2, device_chain=False):
     # (The round-1 "pallas inside fori_loop trips an axon INTERNAL error"
     # no longer reproduces — re-verified round 3.)
     if device_chain:
-        @jax.jit
-        def many(x):
-            def body(_, c):
-                logits = run(c)
-                return c * (1.0 + 1e-12 * jnp.sum(logits))
-            return jax.lax.fori_loop(0, steps, body, x)
+        from diffvit_tpu.utils.profiling import chained_time
 
-        many(x).block_until_ready()  # compile + warm
-        t0 = time.perf_counter()
-        many(x).block_until_ready()
-        return batch * steps / (time.perf_counter() - t0)
+        return batch / chained_time(run, x, n_steps=steps)
 
     @jax.jit
     def step_chained(x):

@@ -15,6 +15,7 @@ Path grammar: components joined with ``'/'``; dict keys are escaped
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 
@@ -65,6 +66,18 @@ def _unflatten(prefix, arrays, manifest):
     return arrays[prefix]
 
 
+def _npz_path(path, *, saving):
+    """np.savez unconditionally appends '.npz' to str/PathLike targets that
+    lack it; mirror that on load (preferring an exactly-named existing file)
+    so a save/load round trip through an extensionless path
+    (e.g. ``--save-int /tmp/deit_int``) works."""
+    p = os.fspath(path) if isinstance(path, (str, os.PathLike)) else path
+    if isinstance(p, str) and not p.endswith(".npz") \
+            and (saving or not os.path.exists(p)):
+        p += ".npz"
+    return p
+
+
 def save_pytree(path, tree, meta: dict | None = None):
     """Write ``tree`` (+ an optional JSON-able ``meta`` dict) to ``path``
     as one .npz."""
@@ -73,12 +86,12 @@ def save_pytree(path, tree, meta: dict | None = None):
     arrays["__manifest__"] = np.frombuffer(
         json.dumps({"tree": manifest, "meta": meta or {}}).encode(),
         dtype=np.uint8)
-    np.savez(path, **arrays)
+    np.savez(_npz_path(path, saving=True), **arrays)
 
 
 def load_pytree(path):
     """Inverse of save_pytree: returns ``(tree, meta)``."""
-    with np.load(path) as z:
+    with np.load(_npz_path(path, saving=False)) as z:
         blob = json.loads(bytes(z["__manifest__"].tobytes()).decode())
         arrays = {k: z[k] for k in z.files if k != "__manifest__"}
     return _unflatten("root", arrays, blob["tree"]), blob["meta"]

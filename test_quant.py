@@ -145,6 +145,11 @@ def main(argv=None):
             mesh = make_mesh(dp * args.tp, dp=dp, tp=args.tp)
             print(f"mesh: dp={dp} tp={args.tp}")
     pp = preprocessing_for(args.model)
+    if args.save_int and not args.quant:
+        raise SystemExit("--save-int bakes a calibrated integer model; "
+                         "it requires --quant")
+    if args.save_int and args.load_int:
+        raise SystemExit("--save-int and --load-int are mutually exclusive")
     if args.load_int:
         if args.mixed:
             raise SystemExit("--load-int serves one baked bit_config; "
@@ -247,7 +252,7 @@ def main(argv=None):
             else:
                 calib = train_batches(1, args.calib_batchsize)[0][0]
         model.calibrate(calib)
-        if args.save_int:
+        if args.save_int and not args.mixed:
             model.save_int_model(args.save_int)
             print(f"Saved int artifact: {args.save_int}")
 
@@ -293,6 +298,10 @@ def main(argv=None):
             crossover_size=args.evo_crossover, factor=args.size_factor,
             evaluate_batch=evaluate_batch)
         print("best:", result[0])
+        if args.save_int:
+            # bake the SEARCHED best config, not the pre-search uniform one
+            model.save_int_model(args.save_int, bit_config=result[0][0])
+            print(f"Saved int artifact (mixed best): {args.save_int}")
     else:
         if not args.quant:
             bit_config = None

@@ -48,6 +48,19 @@ def test_pytree_npz_roundtrip():
     assert out["f"] == 1.5
 
 
+def test_pytree_npz_roundtrip_extensionless_path():
+    """np.savez appends '.npz' to extensionless targets; load_pytree must
+    apply the same rule so `--save-int /tmp/x` / `--load-int /tmp/x`
+    round-trips (round-3 review finding)."""
+    tree = {"w": np.arange(4, dtype=np.int8)}
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "artifact")  # no .npz
+        save_pytree(p, tree)
+        assert os.path.exists(p + ".npz")
+        out, _ = load_pytree(p)
+        np.testing.assert_array_equal(out["w"], tree["w"])
+
+
 @pytest.fixture(scope="module")
 def calibrated_vit():
     params = vit.init_params(TINY, jax.random.PRNGKey(0))
