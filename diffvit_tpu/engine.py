@@ -108,6 +108,35 @@ class QuantizedViT:
             self.qparams = mesh_mod.shard_replicated(self.mesh, self.qparams)
         return self.qparams
 
+    def adaround(self, batch, bit_config=None, *, steps=1000,
+                 max_rows=2048, seed=0):
+        """Learned-rounding weight reconstruction (AdaRound,
+        calib/adaround.py) — beyond-the-reference (the reference always
+        rounds to nearest, uniform.py:50-56).  Replaces ``self.params``
+        with the reconstructed pytree; every downstream consumer
+        (forward_q, forward_q_bits, prepare_int, save_int_model) picks up
+        the learned codes because they re-round bit-exactly.  Requires
+        calibration; ``batch`` is a calibration batch from any --mode."""
+        if self.qparams is None:
+            raise RuntimeError("calibrate first")
+        from .calib.adaround import adaround_swin, adaround_vit
+
+        if isinstance(batch, (list, tuple)):
+            batch = batch[0]
+        x = self._prep(jnp.asarray(batch))
+        fn = adaround_swin if self.is_swin else adaround_vit
+        new_params, report = fn(
+            self.params, self.qparams, self.spec, self.cfg, x, bit_config,
+            steps=steps, max_rows=max_rows, seed=seed)
+        if self.mesh is not None:
+            new_params = mesh_mod.shard_params(self.mesh, new_params)
+        self.params = new_params
+        # the cached prepare_int executables close over weights baked from
+        # the OLD params (the fake-quant forwards take params as arguments
+        # and need no invalidation)
+        self._jit_cache.clear()
+        return report
+
     # -- integer execution path -------------------------------------------
     def prepare_int(self, bit_config=None):
         """Bake the calibrated model into the integer execution path (real

@@ -313,14 +313,23 @@ def _unwindows(xw, res, ws, shift, b):
 # Float forward
 # ---------------------------------------------------------------------------
 
-def forward_fp(params, spec: SwinSpec, x, taps=None):
+def forward_fp(params, spec: SwinSpec, x, taps=None, w_in_taps=None):
+    """``w_in_taps``: optional list collecting (site, input) pairs per
+    weight site — the FP-branch inputs of the AdaRound asymmetric
+    reconstruction (calib/adaround.py), mirroring forward_q's."""
     def tap(name, t):
         if taps is not None:
             taps.append((name, t))
 
+    def wtap(name, t):
+        if w_in_taps is not None:
+            w_in_taps.append((name, t))
+
     eps = spec.ln_eps
     pe = params["patch_embed"]
-    h = swin_patchify(x, spec) @ pe["proj"]["w"].T + pe["proj"]["b"]
+    patches = swin_patchify(x, spec)
+    wtap("patch", patches)
+    h = patches @ pe["proj"]["w"].T + pe["proj"]["b"]
     tap("patch_embed.proj", h)
     if pe["norm"] is not None:
         h = float_layernorm(h, pe["norm"]["w"], pe["norm"]["b"], eps)
@@ -337,11 +346,13 @@ def forward_fp(params, spec: SwinSpec, x, taps=None):
                 return t
 
             def qkv_fn(t):
+                wtap(f"layers.{s}.blocks.{bi}.attn.qkv", t)
                 out = t @ blk["qkv"]["w"].T + blk["qkv"]["b"]
                 tap(f"layers.{s}.blocks.{bi}.attn.qkv", out)
                 return out
 
             def proj_fn(t):
+                wtap(f"layers.{s}.blocks.{bi}.attn.proj", t)
                 out = t @ blk["proj"]["w"].T + blk["proj"]["b"]
                 tap(f"layers.{s}.blocks.{bi}.attn.proj", out)
                 return out
@@ -364,9 +375,11 @@ def forward_fp(params, spec: SwinSpec, x, taps=None):
             h = shortcut + _unwindows(aw, res, ws, shift, h.shape[0])
 
             y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+            wtap(f"layers.{s}.blocks.{bi}.mlp.fc1", y)
             y1 = y @ blk["fc1"]["w"].T + blk["fc1"]["b"]
             tap(f"layers.{s}.blocks.{bi}.mlp.fc1", y1)
             y = jax.nn.gelu(y1, approximate=False)
+            wtap(f"layers.{s}.blocks.{bi}.mlp.fc2", y)
             y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
             tap(f"layers.{s}.blocks.{bi}.mlp.fc2", y)
             h = h + y
@@ -374,11 +387,13 @@ def forward_fp(params, spec: SwinSpec, x, taps=None):
             ds = stage["downsample"]
             h = _merge_patches(h, spec.stage_resolution(s))
             h = float_layernorm(h, ds["norm"]["w"], ds["norm"]["b"], eps)
+            wtap(f"layers.{s}.downsample.reduction", h)
             h = h @ ds["reduction"]["w"].T
             tap(f"layers.{s}.downsample.reduction", h)
 
     h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"], eps)
     h = jnp.mean(h, axis=1)  # AdaptiveAvgPool1d over tokens
+    wtap("head", h)
     logits = h @ params["head"]["w"].T + params["head"]["b"]
     tap("head", logits)
     return logits
@@ -546,11 +561,13 @@ def normalize_bit_config(spec: SwinSpec, bit):
 
 
 def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
-              taps=None):
+              taps=None, w_in_taps=None):
     """Fully-quantized Swin inference.  ``bit``: uniform weight bit
     (reference behavior) or a per-slot bit_config (see
     normalize_bit_config) — the per-layer mixed-precision extension the
-    reference lacks for Swin."""
+    reference lacks for Swin.  ``w_in_taps``: optional (site, input)
+    collection per weight site for the AdaRound reconstruction
+    (calib/adaround.py)."""
     bc = normalize_bit_config(spec, bit if bit is not None
                               else cfg.bit_w.bits)
 
@@ -562,11 +579,12 @@ def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
     def lnfloat(slot):
         return bc[slot] == -1
 
-    return _forward_q_body(params, qp, spec, cfg, x, wfn, lnfloat, taps)
+    return _forward_q_body(params, qp, spec, cfg, x, wfn, lnfloat, taps,
+                           w_in_taps)
 
 
 def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
-                    lnfloat, taps=None):
+                    lnfloat, taps=None, w_in_taps=None):
     """Shared quantized-forward body: ``wfn(qp_path, w, slot)`` supplies
     the (fake-quantized / float / bit-traced) weight per slot;
     ``lnfloat(slot)`` flips the LN feeding that slot to float (static
@@ -578,6 +596,10 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
         if taps is not None:
             taps.append((name, t))
 
+    def wtap(name, t):
+        if w_in_taps is not None:
+            w_in_taps.append((name, t))
+
     def norm(ln, x_, in_path, out_path, consumer_slot, expand=1):
         if not cfg.int_norm or lnfloat(consumer_slot):
             return float_layernorm(x_, ln["w"], ln["b"], eps)
@@ -588,6 +610,7 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
         x = _fq(qp, "qact_input", x, bt_a)
     pe = params["patch_embed"]
     patches = swin_patchify(x, spec)
+    wtap("patch", patches)
     h = patches @ wfn("patch.w", pe["proj"]["w"], 0).T + pe["proj"]["b"]
     tap("patch_embed.proj", h)
     if pe["norm"] is not None:
@@ -610,12 +633,14 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
             yw = _windows(y, res, ws, shift)
 
             def qkv_fn(t, p=p, blk=blk, s_qkv=s_qkv):
+                wtap(f"{p}.attn.qkv", t)
                 out = t @ wfn(f"{p}.attn.qkv.w", blk["qkv"]["w"],
                               s_qkv).T + blk["qkv"]["b"]
                 tap(f"{p}.attn.qkv", out)
                 return _fq(qp, f"{p}.attn.qact1", out, bt_a)
 
             def proj_fn(t, p=p, blk=blk, s_proj=s_proj):
+                wtap(f"{p}.attn.proj", t)
                 out = t @ wfn(f"{p}.attn.proj.w", blk["proj"]["w"],
                               s_proj).T + blk["proj"]["b"]
                 tap(f"{p}.attn.proj", out)
@@ -641,11 +666,13 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
 
             y = norm(blk["norm2"], h, f"{p}.qact2", f"{p}.qact3", s_fc1)
             y = _fq(qp, f"{p}.qact3", y, bt_a)
+            wtap(f"{p}.mlp.fc1", y)
             y = y @ wfn(f"{p}.mlp.fc1.w", blk["fc1"]["w"], s_fc1).T \
                 + blk["fc1"]["b"]
             tap(f"{p}.mlp.fc1", y)
             y = jax.nn.gelu(y, approximate=False)
             y = _fq(qp, f"{p}.mlp.qact1", y, bt_a)
+            wtap(f"{p}.mlp.fc2", y)
             y = y @ wfn(f"{p}.mlp.fc2.w", blk["fc2"]["w"], s_fc2).T \
                 + blk["fc2"]["b"]
             tap(f"{p}.mlp.fc2", y)
@@ -663,6 +690,7 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
             # in_scale replicated 4x over the concat (⚠️2 fix: expand=4)
             h = norm(ds["norm"], h, last_q, f"{p}.qact1", s_red, expand=4)
             h = _fq(qp, f"{p}.qact1", h, bt_a)
+            wtap(f"{p}.reduction", h)
             h = h @ wfn(f"{p}.reduction.w", ds["reduction"]["w"], s_red).T
             tap(f"{p}.reduction", h)
             h = _fq(qp, f"{p}.qact2", h, bt_a)
@@ -672,6 +700,7 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
     h = _fq(qp, "qact2", h, bt_a)
     h = jnp.mean(h, axis=1)
     h = _fq(qp, "qact3", h, bt_a)
+    wtap("head", h)
     logits = h @ wfn("head.w", params["head"]["w"], slot).T \
         + params["head"]["b"]
     tap("head", logits)

@@ -211,21 +211,30 @@ def drop_path(x, drop_prob: float, *, training: bool = False, rng=None):
 
 
 def forward_fp(params, spec: ViTSpec, x, taps=None, *, training=False,
-               rng=None):
+               rng=None, w_in_taps=None):
     """Pure float forward.  ``taps``: optional list collecting
     (name, activation) pairs at the sites the reference hooks for CKA
     (QConv2d/QLinear outputs + Attention.qkv_output / Mlp.fc1_output,
     cka_utility.py:26-110).  ``training``/``rng`` enable the stochastic
     DropPath branch on the residual adds (Block.forward,
     vit_fquant.py:417-470 applies drop_path to both attn and mlp outputs);
-    per-block rates follow timm's linspace(0, drop_path_rate, depth)."""
+    per-block rates follow timm's linspace(0, drop_path_rate, depth).
+    ``w_in_taps``: (site, input) pairs per weight site, mirroring
+    forward_q's — the FP-branch inputs of the AdaRound asymmetric
+    reconstruction (calib/adaround.py)."""
 
     def tap(name, t):
         if taps is not None:
             taps.append((name, t))
 
+    def wtap(name, t):
+        if w_in_taps is not None:
+            w_in_taps.append((name, t))
+
     eps = spec.ln_eps
-    h = patchify(x, spec) @ params["patch_embed"]["w"].T + params["patch_embed"]["b"]
+    patches = patchify(x, spec)
+    wtap("patch", patches)
+    h = patches @ params["patch_embed"]["w"].T + params["patch_embed"]["b"]
     tap("patch_embed.proj", h)
     cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
     h = jnp.concatenate([cls, h], axis=1)
@@ -237,6 +246,7 @@ def forward_fp(params, spec: ViTSpec, x, taps=None, *, training=False,
         else [None] * (2 * spec.depth)
     for i, blk in enumerate(params["blocks"]):
         y = float_layernorm(h, blk["norm1"]["w"], blk["norm1"]["b"], eps)
+        wtap(f"blocks.{i}.attn.qkv", y)
         qkv = y @ blk["qkv"]["w"].T + blk["qkv"]["b"]
         tap(f"blocks.{i}.attn.qkv", qkv)
         tap(f"blocks.{i}.attn", qkv)  # Attention.qkv_output cache
@@ -246,20 +256,24 @@ def forward_fp(params, spec: ViTSpec, x, taps=None, *, training=False,
         # the merged (B,N,C) layout here is (B,N,H,hd) row-major, so the
         # head mean is recovered by a reshape in analysis/datagen.py.
         tap(f"blocks.{i}.attn.ctx", y)
+        wtap(f"blocks.{i}.attn.proj", y)
         y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
         tap(f"blocks.{i}.attn.proj", y)
         h = h + drop_path(y, dpr[i], training=training, rng=keys[2 * i])
 
         y = float_layernorm(h, blk["norm2"]["w"], blk["norm2"]["b"], eps)
+        wtap(f"blocks.{i}.mlp.fc1", y)
         y1 = y @ blk["fc1"]["w"].T + blk["fc1"]["b"]
         tap(f"blocks.{i}.mlp.fc1", y1)
         tap(f"blocks.{i}.mlp", y1)  # Mlp.fc1_output cache
         y = jax.nn.gelu(y1, approximate=False)
+        wtap(f"blocks.{i}.mlp.fc2", y)
         y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
         tap(f"blocks.{i}.mlp.fc2", y)
         h = h + drop_path(y, dpr[i], training=training, rng=keys[2 * i + 1])
 
     h = float_layernorm(h, params["norm"]["w"], params["norm"]["b"], eps)[:, 0]
+    wtap("head", h)
     logits = h @ params["head"]["w"].T + params["head"]["b"]
     tap("head", logits)
     return logits
@@ -691,11 +705,17 @@ def _q_norm(qp, x, ln, in_path, out_scale, out_ch, cfg: QuantConfig,
 
 
 def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
-              bit_config=None, taps=None):
+              bit_config=None, taps=None, w_in_taps=None):
     """Fully-quantized forward.  ``bit_config``: tuple of 4*depth+2 ints in
     {4, 8, -1} (None -> all cfg.bit_w.bits, matching test_quant.py:412's
     [4]*50 default).  Returns logits; FLOPs/global_distance companions are
-    static/calibration outputs (flops_list / calibrate)."""
+    static/calibration outputs (flops_list / calibrate).
+
+    ``w_in_taps``: optional list collecting ``(site, input)`` pairs — the
+    tensor each weight site multiplies (post-qact for plain sites,
+    pre-smoothing LN output for SmoothQuant sites).  Consumed by the
+    AdaRound reconstruction (calib/adaround.py); kept separate from
+    ``taps`` so the reference hook ordering there stays intact."""
     if bit_config is None:
         bit_config = (cfg.bit_w.bits,) * num_bit_slots(spec)
     bit_config = tuple(int(v) for v in bit_config)
@@ -706,6 +726,10 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
         if taps is not None:
             taps.append((name, t))
 
+    def wtap(name, t):
+        if w_in_taps is not None:
+            w_in_taps.append((name, t))
+
     eps = spec.ln_eps
     if spec.input_quant:
         x = _fq(qp, "qact_input", x, cfg.bit_a)
@@ -713,6 +737,7 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     pe = params["patch_embed"]
     patches = patchify(x, spec)
     pb = bit_config[0]
+    wtap("patch", patches)
     if pb == -1:
         h = patches @ pe["w"].T + pe["b"]
     else:
@@ -743,6 +768,7 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
                     out_scale if out_scale is not None
                     else qp.get(f"{p}.attn.qkv.qact0.scale"),
                     out_ch, cfg, attn_float_ln, eps)
+        wtap(f"{p}.attn.qkv", y)
         qkv = _q_smooth_linear(qp, f"{p}.attn.qkv", y, blk["qkv"]["w"],
                                blk["qkv"]["b"], b_qkv, cfg)
         tap(f"{p}.attn.qkv", qkv)
@@ -758,6 +784,7 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
 
         y, _ = _sdpa(qkv, spec, softmax_fn)
         y = _fq(qp, f"{p}.attn.qact2", y, cfg.bit_a)
+        wtap(f"{p}.attn.proj", y)
         if b_proj == -1:
             y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
         else:
@@ -788,12 +815,14 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
                     out_scale if out_scale is not None
                     else qp.get(f"{p}.mlp.fc1.qact0.scale"),
                     out_ch, cfg, mlp_float_ln, eps)
+        wtap(f"{p}.mlp.fc1", y)
         y = _q_smooth_linear(qp, f"{p}.mlp.fc1", y, blk["fc1"]["w"],
                              blk["fc1"]["b"], b_fc1, cfg)
         tap(f"{p}.mlp.fc1", y)
         tap(f"{p}.mlp", y)
         y = jax.nn.gelu(y, approximate=False)
         y = _fq(qp, f"{p}.mlp.qact1", y, cfg.bit_a)
+        wtap(f"{p}.mlp.fc2", y)
         if b_fc2 == -1:
             y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
         else:
@@ -807,6 +836,7 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
                 qp["qact2.scale"], None, cfg, False, eps)[:, 0]
     h = _fq(qp, "qact2", h, cfg.bit_a)
     hb = bit_config[-1]
+    wtap("head", h)
     if hb == -1:
         logits = h @ params["head"]["w"].T + params["head"]["b"]
     else:

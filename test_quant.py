@@ -53,6 +53,12 @@ def build_parser():
                         "when >1 device is visible; 1 disables)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel mesh size (megatron shardings)")
+    p.add_argument("--adaround", default=False, action="store_true",
+                   help="after calibration, learn per-weight up/down "
+                        "rounding on the calibration batch (AdaRound; "
+                        "beyond-the-reference, calib/adaround.py)")
+    p.add_argument("--adaround-steps", default=1000, type=int,
+                   help="Adam steps per weight site for --adaround")
     p.add_argument("--calib-multi-batch", default=False, action="store_true",
                    help="observe stats over --calib-iter batches and finalize "
                         "on the last (the reference's intended multi-batch "
@@ -252,6 +258,15 @@ def main(argv=None):
             else:
                 calib = train_batches(1, args.calib_batchsize)[0][0]
         model.calibrate(calib)
+        if args.adaround:
+            print(f"AdaRound reconstruction "
+                  f"({args.adaround_steps} steps/site)...")
+            report = model.adaround(calib, steps=args.adaround_steps,
+                                    seed=args.seed)
+            imps = [1.0 - after / before
+                    for before, after in report.values() if before > 0]
+            print(f"AdaRound: {len(report)} sites, mean site-MSE "
+                  f"reduction {100.0 * float(np.mean(imps)):.1f}%")
         if args.save_int and not args.mixed:
             model.save_int_model(args.save_int)
             print(f"Saved int artifact: {args.save_int}")
