@@ -167,7 +167,7 @@ def _swin_sites(spec, bc):
 
 def adaround_swin(params, qp, spec, cfg: QuantConfig, x, bit=None, *,
                   steps=1000, lr=1e-2, lam=0.01, beta_range=(20.0, 2.0),
-                  warmup=0.2, max_rows=2048, seed=0):
+                  warmup=0.2, max_rows=2048, seed=0, fp_params=None):
     """Learned-rounding reconstruction of every quantized Swin weight
     site (the swin.normalize_bit_config contract).  Same protocol as
     adaround_vit; simpler because every Swin site is plain (the quantized
@@ -178,7 +178,8 @@ def adaround_swin(params, qp, spec, cfg: QuantConfig, x, bit=None, *,
                                    else cfg.bit_w.bits)
 
     fp_taps = []
-    swin.forward_fp(params, spec, x, w_in_taps=fp_taps)
+    swin.forward_fp(fp_params if fp_params is not None else params,
+                    spec, x, w_in_taps=fp_taps)
     fp_in = dict(fp_taps)
     rng = np.random.default_rng(seed)
     warm = int(round(steps * warmup))
@@ -209,12 +210,14 @@ def adaround_swin(params, qp, spec, cfg: QuantConfig, x, bit=None, *,
 
 def adaround_vit(params, qp, spec, cfg: QuantConfig, x, bit_config=None, *,
                  steps=1000, lr=1e-2, lam=0.01, beta_range=(20.0, 2.0),
-                 warmup=0.2, max_rows=2048, seed=0):
+                 warmup=0.2, max_rows=2048, seed=0, fp_params=None):
     """Learned-rounding reconstruction of every quantized ViT/DeiT weight
     site at ``bit_config``.  ``x``: calibration batch (any of the CLI's
     --mode 0/1/2 sources).  Returns ``(new_params, report)`` where report
     maps site -> (site mse with nearest rounding, site mse learned) —
-    both measured against the float-path target."""
+    both measured against the float-path target.  ``fp_params``: the
+    float pytree anchoring the targets when ``params`` was already
+    reconstructed (see biascorr.bias_correct)."""
     from ..models import vit
 
     if bit_config is None:
@@ -222,7 +225,8 @@ def adaround_vit(params, qp, spec, cfg: QuantConfig, x, bit_config=None, *,
     bit_config = tuple(int(b) for b in bit_config)
 
     fp_taps = []
-    vit.forward_fp(params, spec, x, w_in_taps=fp_taps)
+    vit.forward_fp(fp_params if fp_params is not None else params,
+                   spec, x, w_in_taps=fp_taps)
     fp_in = dict(fp_taps)
     rng = np.random.default_rng(seed)
     warm = int(round(steps * warmup))

@@ -52,6 +52,10 @@ class QuantizedViT:
         if mesh is not None:
             params = mesh_mod.shard_params(mesh, params)
         self.params = params
+        # the original float pytree — the reconstruction passes (adaround
+        # / bias_correct) anchor their float-path targets here even after
+        # self.params has been replaced by a reconstructed pytree
+        self.fp_params = params
         self.qparams = None
         self.global_distance = None
         self._jit_cache = {}
@@ -127,7 +131,8 @@ class QuantizedViT:
         fn = adaround_swin if self.is_swin else adaround_vit
         new_params, report = fn(
             self.params, self.qparams, self.spec, self.cfg, x, bit_config,
-            steps=steps, max_rows=max_rows, seed=seed)
+            steps=steps, max_rows=max_rows, seed=seed,
+            fp_params=self.fp_params)
         if self.mesh is not None:
             new_params = mesh_mod.shard_params(self.mesh, new_params)
         self.params = new_params
@@ -135,6 +140,28 @@ class QuantizedViT:
         # the OLD params (the fake-quant forwards take params as arguments
         # and need no invalidation)
         self._jit_cache.clear()
+        return report
+
+    def bias_correct(self, batch, bit_config=None):
+        """DFQ-style empirical bias correction (calib/biascorr.py) —
+        beyond-the-reference; zero inference cost.  Replaces
+        ``self.params`` with the corrected pytree (biases are float and
+        never quantized, so every execution path picks it up).  Composes
+        with ``adaround`` (run that first).  Requires calibration."""
+        if self.qparams is None:
+            raise RuntimeError("calibrate first")
+        from .calib.biascorr import bias_correct
+
+        if isinstance(batch, (list, tuple)):
+            batch = batch[0]
+        x = self._prep(jnp.asarray(batch))
+        new_params, report = bias_correct(self.params, self.qparams,
+                                          self.spec, self.cfg, x, bit_config,
+                                          fp_params=self.fp_params)
+        if self.mesh is not None:
+            new_params = mesh_mod.shard_params(self.mesh, new_params)
+        self.params = new_params
+        self._jit_cache.clear()  # cached int executables bake old biases
         return report
 
     # -- integer execution path -------------------------------------------

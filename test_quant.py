@@ -59,6 +59,11 @@ def build_parser():
                         "beyond-the-reference, calib/adaround.py)")
     p.add_argument("--adaround-steps", default=1000, type=int,
                    help="Adam steps per weight site for --adaround")
+    p.add_argument("--bias-corr", default=False, action="store_true",
+                   help="after calibration (and --adaround if given), "
+                        "fold the empirical per-channel quantization mean "
+                        "shift into each linear's bias (DFQ-style; "
+                        "beyond-the-reference, calib/biascorr.py)")
     p.add_argument("--calib-multi-batch", default=False, action="store_true",
                    help="observe stats over --calib-iter batches and finalize "
                         "on the last (the reference's intended multi-batch "
@@ -258,18 +263,36 @@ def main(argv=None):
             else:
                 calib = train_batches(1, args.calib_batchsize)[0][0]
         model.calibrate(calib)
-        if args.adaround:
-            print(f"AdaRound reconstruction "
-                  f"({args.adaround_steps} steps/site)...")
-            report = model.adaround(calib, steps=args.adaround_steps,
-                                    seed=args.seed)
-            imps = [1.0 - after / before
-                    for before, after in report.values() if before > 0]
-            print(f"AdaRound: {len(report)} sites, mean site-MSE "
-                  f"reduction {100.0 * float(np.mean(imps)):.1f}%")
-        if args.save_int and not args.mixed:
-            model.save_int_model(args.save_int)
-            print(f"Saved int artifact: {args.save_int}")
+
+        def reconstruct(bit_config=None):
+            """--adaround / --bias-corr passes at ``bit_config`` (None ->
+            the uniform default).  Under --mixed this runs AFTER the
+            search at the winning config, so the reconstruction matches
+            what actually ships."""
+            if args.adaround:
+                print(f"AdaRound reconstruction "
+                      f"({args.adaround_steps} steps/site)...")
+                report = model.adaround(calib, bit_config,
+                                        steps=args.adaround_steps,
+                                        seed=args.seed)
+                imps = [1.0 - after / before
+                        for before, after in report.values() if before > 0]
+                print(f"AdaRound: {len(report)} sites, mean site-MSE "
+                      f"reduction {100.0 * float(np.mean(imps)):.1f}%")
+            if args.bias_corr:
+                print("Bias correction (DFQ-style mean-shift fold)...")
+                report = model.bias_correct(calib, bit_config)
+                before = [b for b, _ in report.values()]
+                after = [a for _, a in report.values()]
+                print(f"Bias correction: {len(report)} sites, mean |shift| "
+                      f"{float(np.mean(before)):.3e} -> "
+                      f"{float(np.mean(after)):.3e}")
+
+        if not args.mixed:
+            reconstruct()
+            if args.save_int:
+                model.save_int_model(args.save_int)
+                print(f"Saved int artifact: {args.save_int}")
 
     def evaluate(bit_config):
         print(bit_config)
@@ -313,6 +336,10 @@ def main(argv=None):
             crossover_size=args.evo_crossover, factor=args.size_factor,
             evaluate_batch=evaluate_batch)
         print("best:", result[0])
+        if args.quant and not args.load_int:
+            # reconstruction passes run AFTER the search, at the winning
+            # config (the search itself ranks nearest-rounded candidates)
+            reconstruct(tuple(result[0][0]))
         if args.save_int:
             # bake the SEARCHED best config, not the pre-search uniform one
             model.save_int_model(args.save_int, bit_config=result[0][0])
