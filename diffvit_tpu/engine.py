@@ -142,6 +142,28 @@ class QuantizedViT:
         self._jit_cache.clear()
         return report
 
+    def qat(self, batch, bit_config=None, *, steps=200, lr=1e-5):
+        """Data-free distillation QAT (calib/qat.py): fine-tune the latent
+        float weights through the STE-threaded quantized forward toward
+        the original FP teacher.  Beyond-the-reference (the reference
+        never differentiates through its quantizers).  Replaces
+        ``self.params``; returns the per-step loss trajectory.  ViT/DeiT
+        specs.  Requires calibration."""
+        if self.qparams is None:
+            raise RuntimeError("calibrate first")
+        from .calib.qat import qat_distill
+
+        batches = batch if isinstance(batch, (list, tuple)) else [batch]
+        batches = [self._prep(jnp.asarray(b)) for b in batches]
+        new_params, losses = qat_distill(
+            self.params, self.qparams, self.spec, self.cfg, batches,
+            bit_config, steps=steps, lr=lr, fp_params=self.fp_params)
+        if self.mesh is not None:
+            new_params = mesh_mod.shard_params(self.mesh, new_params)
+        self.params = new_params
+        self._jit_cache.clear()  # cached int executables bake old weights
+        return losses
+
     def bias_correct(self, batch, bit_config=None):
         """DFQ-style empirical bias correction (calib/biascorr.py) —
         beyond-the-reference; zero inference cost.  Replaces

@@ -660,20 +660,22 @@ def calibrate_batches(params, spec: ViTSpec, cfg: QuantConfig, batches):
 # Quantized forward
 # ---------------------------------------------------------------------------
 
-def _fq(qp, path, x, bit_type: BitType):
+def _fq(qp, path, x, bit_type: BitType, ste: bool = False):
     """Apply a QAct site: fake-quant with the stored scale/zp."""
-    return fake_quant(x, qp[f"{path}.scale"], qp[f"{path}.zp"], bit_type)
+    return fake_quant(x, qp[f"{path}.scale"], qp[f"{path}.zp"], bit_type,
+                      ste)
 
 
-def _q_weight(qp, path, w2d, bit: int):
+def _q_weight(qp, path, w2d, bit: int, ste: bool = False):
     """Quantize a weight with its per-bit calibrated PoT scale."""
     bt = BIT_TYPE_DICT[f"int{bit}"]
     s = qp[f"{path}.{bt.name}.scale"]
     s = s[:, None] if s.ndim == 1 and s.shape[0] == w2d.shape[0] else s
-    return fake_quant(w2d, s, 0.0, bt)
+    return fake_quant(w2d, s, 0.0, bt, ste)
 
 
-def _q_smooth_linear(qp, path, x, w, b, bit: int, cfg: QuantConfig):
+def _q_smooth_linear(qp, path, x, w, b, bit: int, cfg: QuantConfig,
+                     ste: bool = False):
     """Quantized qkv/fc1: divide by the cached SmoothQuant channel scale,
     fake-quant activation and smoothed weight at the bit-pool entry for
     ``bit`` (vit_fquant.py:281-293).  bit == -1 -> FP (the reference's
@@ -682,30 +684,31 @@ def _q_smooth_linear(qp, path, x, w, b, bit: int, cfg: QuantConfig):
     if bit == -1:
         return x @ w.T + b
     if not cfg.smoothquant:
-        xq = _fq(qp, f"{path}.qact0", x, cfg.bit_a)
-        return xq @ _q_weight(qp, f"{path}.w", w, bit).T + b
+        xq = _fq(qp, f"{path}.qact0", x, cfg.bit_a, ste)
+        return xq @ _q_weight(qp, f"{path}.w", w, bit, ste).T + b
     idx = cfg.bit_pool.index(bit)
     ch = qp[f"{path}.sq.channel_scale"][idx]
     x_s = x / ch
     xq = fake_quant(x_s, qp[f"{path}.qact0.scale"][idx],
-                    qp[f"{path}.qact0.zp"][idx], cfg.bit_a)
+                    qp[f"{path}.qact0.zp"][idx], cfg.bit_a, ste)
     bt = BIT_TYPE_DICT[f"int{bit}"]
     s = qp[f"{path}.w.{bt.name}.scale"][idx]
     s = s[:, None] if s.ndim == 1 else s
-    wq = fake_quant(w * ch, s, 0.0, bt)
+    wq = fake_quant(w * ch, s, 0.0, bt, ste)
     return xq @ wq.T + b
 
 
 def _q_norm(qp, x, ln, in_path, out_scale, out_ch, cfg: QuantConfig,
-            float_mode: bool, eps: float):
+            float_mode: bool, eps: float, ste: bool = False):
     if float_mode or not cfg.int_norm:
         return float_layernorm(x, ln["w"], ln["b"], eps)
     return int_layernorm(x, ln["w"], ln["b"], qp[f"{in_path}.scale"],
-                         out_scale, out_scale_channel=out_ch)
+                         out_scale, out_scale_channel=out_ch, ste=ste)
 
 
 def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
-              bit_config=None, taps=None, w_in_taps=None):
+              bit_config=None, taps=None, w_in_taps=None,
+              ste: bool = False):
     """Fully-quantized forward.  ``bit_config``: tuple of 4*depth+2 ints in
     {4, 8, -1} (None -> all cfg.bit_w.bits, matching test_quant.py:412's
     [4]*50 default).  Returns logits; FLOPs/global_distance companions are
@@ -715,7 +718,11 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     tensor each weight site multiplies (post-qact for plain sites,
     pre-smoothing LN output for SmoothQuant sites).  Consumed by the
     AdaRound reconstruction (calib/adaround.py); kept separate from
-    ``taps`` so the reference hook ordering there stays intact."""
+    ``taps`` so the reference hook ordering there stays intact.
+
+    ``ste=True`` makes every rounding a straight-through estimator so the
+    forward is differentiable w.r.t. ``params`` (identical primal values)
+    — the QAT-distillation path (calib/qat.py); no reference equivalent."""
     if bit_config is None:
         bit_config = (cfg.bit_w.bits,) * num_bit_slots(spec)
     bit_config = tuple(int(v) for v in bit_config)
@@ -732,7 +739,7 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
 
     eps = spec.ln_eps
     if spec.input_quant:
-        x = _fq(qp, "qact_input", x, cfg.bit_a)
+        x = _fq(qp, "qact_input", x, cfg.bit_a, ste)
 
     pe = params["patch_embed"]
     patches = patchify(x, spec)
@@ -741,15 +748,15 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     if pb == -1:
         h = patches @ pe["w"].T + pe["b"]
     else:
-        h = patches @ _q_weight(qp, "patch.w", pe["w"], pb).T + pe["b"]
+        h = patches @ _q_weight(qp, "patch.w", pe["w"], pb, ste).T + pe["b"]
     tap("patch_embed.proj", h)
-    h = _fq(qp, "patch.qact", h, cfg.bit_a)
+    h = _fq(qp, "patch.qact", h, cfg.bit_a, ste)
 
     cls = jnp.broadcast_to(params["cls_token"], (x.shape[0], 1, spec.embed_dim))
     h = jnp.concatenate([cls, h], axis=1)
-    h = _fq(qp, "qact_embed", h, cfg.bit_a)
-    h = h + _fq(qp, "qact_pos", params["pos_embed"], cfg.bit_a)
-    h = _fq(qp, "qact1", h, cfg.bit_a)
+    h = _fq(qp, "qact_embed", h, cfg.bit_a, ste)
+    h = h + _fq(qp, "qact_pos", params["pos_embed"], cfg.bit_a, ste)
+    h = _fq(qp, "qact1", h, cfg.bit_a, ste)
 
     for i, blk in enumerate(params["blocks"]):
         p = f"blocks.{i}"
@@ -767,32 +774,32 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
         y = _q_norm(qp, h, blk["norm1"], in_path,
                     out_scale if out_scale is not None
                     else qp.get(f"{p}.attn.qkv.qact0.scale"),
-                    out_ch, cfg, attn_float_ln, eps)
+                    out_ch, cfg, attn_float_ln, eps, ste)
         wtap(f"{p}.attn.qkv", y)
         qkv = _q_smooth_linear(qp, f"{p}.attn.qkv", y, blk["qkv"]["w"],
-                               blk["qkv"]["b"], b_qkv, cfg)
+                               blk["qkv"]["b"], b_qkv, cfg, ste)
         tap(f"{p}.attn.qkv", qkv)
         tap(f"{p}.attn", qkv)
-        qkv = _fq(qp, f"{p}.attn.qact1", qkv, cfg.bit_a)
+        qkv = _fq(qp, f"{p}.attn.qact1", qkv, cfg.bit_a, ste)
 
         def softmax_fn(a):
-            a = _fq(qp, f"{p}.attn.qact_attn1", a, cfg.bit_a)
+            a = _fq(qp, f"{p}.attn.qact_attn1", a, cfg.bit_a, ste)
             if cfg.lis:
                 return log_int_softmax(a, qp[f"{p}.attn.qact_attn1.scale"],
-                                       cfg.bit_s)
+                                       cfg.bit_s, ste)
             return jax.nn.softmax(a, axis=-1)
 
         y, _ = _sdpa(qkv, spec, softmax_fn)
-        y = _fq(qp, f"{p}.attn.qact2", y, cfg.bit_a)
+        y = _fq(qp, f"{p}.attn.qact2", y, cfg.bit_a, ste)
         wtap(f"{p}.attn.proj", y)
         if b_proj == -1:
             y = y @ blk["proj"]["w"].T + blk["proj"]["b"]
         else:
             y = y @ _q_weight(qp, f"{p}.attn.proj.w", blk["proj"]["w"],
-                              b_proj).T + blk["proj"]["b"]
+                              b_proj, ste).T + blk["proj"]["b"]
         tap(f"{p}.attn.proj", y)
-        y = _fq(qp, f"{p}.attn.qact3", y, cfg.bit_a)
-        h = _fq(qp, f"{p}.qact2", h + y, cfg.bit_a)
+        y = _fq(qp, f"{p}.attn.qact3", y, cfg.bit_a, ste)
+        h = _fq(qp, f"{p}.qact2", h + y, cfg.bit_a, ste)
 
         # --- mlp (layers_quant.py:202-351) ---
         mlp_float_ln = (-1 in (b_fc1, b_fc2))
@@ -814,36 +821,36 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
         y = _q_norm(qp, h, blk["norm2"], f"{p}.qact2",
                     out_scale if out_scale is not None
                     else qp.get(f"{p}.mlp.fc1.qact0.scale"),
-                    out_ch, cfg, mlp_float_ln, eps)
+                    out_ch, cfg, mlp_float_ln, eps, ste)
         wtap(f"{p}.mlp.fc1", y)
         y = _q_smooth_linear(qp, f"{p}.mlp.fc1", y, blk["fc1"]["w"],
-                             blk["fc1"]["b"], b_fc1, cfg)
+                             blk["fc1"]["b"], b_fc1, cfg, ste)
         tap(f"{p}.mlp.fc1", y)
         tap(f"{p}.mlp", y)
         y = jax.nn.gelu(y, approximate=False)
-        y = _fq(qp, f"{p}.mlp.qact1", y, cfg.bit_a)
+        y = _fq(qp, f"{p}.mlp.qact1", y, cfg.bit_a, ste)
         wtap(f"{p}.mlp.fc2", y)
         if b_fc2 == -1:
             y = y @ blk["fc2"]["w"].T + blk["fc2"]["b"]
         else:
             y = y @ _q_weight(qp, f"{p}.mlp.fc2.w", blk["fc2"]["w"],
-                              b_fc2).T + blk["fc2"]["b"]
+                              b_fc2, ste).T + blk["fc2"]["b"]
         tap(f"{p}.mlp.fc2", y)
-        y = _fq(qp, f"{p}.mlp.qact2", y, cfg.bit_a)
-        h = _fq(qp, f"{p}.qact4", h + y, cfg.bit_a)
+        y = _fq(qp, f"{p}.mlp.qact2", y, cfg.bit_a, ste)
+        h = _fq(qp, f"{p}.qact4", h + y, cfg.bit_a, ste)
 
     h = _q_norm(qp, h, params["norm"], f"blocks.{spec.depth-1}.qact4",
-                qp["qact2.scale"], None, cfg, False, eps)[:, 0]
-    h = _fq(qp, "qact2", h, cfg.bit_a)
+                qp["qact2.scale"], None, cfg, False, eps, ste)[:, 0]
+    h = _fq(qp, "qact2", h, cfg.bit_a, ste)
     hb = bit_config[-1]
     wtap("head", h)
     if hb == -1:
         logits = h @ params["head"]["w"].T + params["head"]["b"]
     else:
-        logits = h @ _q_weight(qp, "head.w", params["head"]["w"], hb).T \
-            + params["head"]["b"]
+        logits = h @ _q_weight(qp, "head.w", params["head"]["w"], hb,
+                               ste).T + params["head"]["b"]
     tap("head", logits)
-    return _fq(qp, "act_out", logits, cfg.bit_a)
+    return _fq(qp, "act_out", logits, cfg.bit_a, ste)
 
 
 def forward_q_bits(params, qp, spec: ViTSpec, cfg: QuantConfig, x, bits):

@@ -13,20 +13,26 @@ same signature lives in ops/pallas/.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
+from .quant import floor_fn, round_fn
 
-def get_mn(x):
+
+def get_mn(x, ste: bool = False):
     """Fixed-point decomposition A ≈ M · 2^-N with a 7-bit mantissa
-    (layers.py:234-238)."""
+    (layers.py:234-238).  With ``ste`` the mantissa floor passes gradient
+    through (N is an exponent choice — kept non-differentiable)."""
     bit = 7
-    n = jnp.clip(bit - jnp.floor(jnp.log2(x)), 0, 31)
-    m = jnp.clip(jnp.floor(x * (2.0**n)), 0, 2 ** (bit + 1) - 1)
+    n = jnp.clip(bit - jnp.floor(jnp.log2(jax.lax.stop_gradient(x)
+                                          if ste else x)), 0, 31)
+    m = jnp.clip(floor_fn(ste)(x * (2.0**n)), 0, 2 ** (bit + 1) - 1)
     return m, n
 
 
 def int_layernorm(x, weight, bias, in_scale, out_scale, *,
-                  out_scale_channel=None, in_scale_expand: int = 1):
+                  out_scale_channel=None, in_scale_expand: int = 1,
+                  ste: bool = False):
     """Integer LayerNorm over the last axis.
 
     x:            (..., C) fake-quantized input (float holding grid values)
@@ -52,7 +58,7 @@ def int_layernorm(x, weight, bias, in_scale, out_scale, *,
         out_scale = out_scale * out_scale_channel
     out_scale = jnp.broadcast_to(out_scale, (c,))
 
-    x_q = jnp.round(x / in_scale)
+    x_q = round_fn(ste)(x / in_scale)
     in_scale1 = jnp.min(in_scale)
     scale_mask = jnp.round(in_scale / in_scale1)
     x_q = x_q * scale_mask  # integers on the common in_scale1 grid
@@ -64,11 +70,11 @@ def int_layernorm(x, weight, bias, in_scale, out_scale, *,
 
     a = (in_scale1 / std_x_q)[..., None] * weight / out_scale
     a_sign = jnp.sign(a)
-    m, n = get_mn(jnp.abs(a))
-    b = jnp.round(
+    m, n = get_mn(jnp.abs(a), ste)
+    b = round_fn(ste)(
         (bias - (mean_x_q / std_x_q)[..., None] * weight) / out_scale * (2.0**n)
     )
-    x_q = jnp.round((a_sign * m * x_q + b) / (2.0**n))
+    x_q = round_fn(ste)((a_sign * m * x_q + b) / (2.0**n))
     return x_q * out_scale
 
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from .bit_types import BitType
+from .quant import floor_fn, round_fn
 
 
 def log_round(x):
@@ -40,33 +41,38 @@ def _int_polynomial(x_int, scaling_factor):
     return z, a * scaling_factor**2
 
 
-def _int_exp(x_int, scaling_factor, n: int = 32):
-    """Integer exp via range reduction x = q·(-ln2) + r (layers.py:346-358)."""
+def _int_exp(x_int, scaling_factor, n: int = 32, ste: bool = False):
+    """Integer exp via range reduction x = q·(-ln2) + r (layers.py:346-358).
+    With ``ste`` only the final floor passes gradient through.  The
+    range-reduction index q must stay HARD: an STE q would make
+    dr/dx = 1 - x0·(1/x0) = 0 and kill the gradient into the polynomial;
+    with q hard, dr/dx = 1 and the surrogate gradient is
+    poly'(r)·2^(n-q) ∝ exp(x) locally — exactly the right shape."""
     x0 = -0.6931  # -ln2
     x0_int = jnp.floor(x0 / scaling_factor)
     x_int = jnp.maximum(x_int, n * x0_int)
-    q = jnp.floor(x_int / x0_int)
+    q = jnp.floor(x_int / x0_int)  # zero-gradient by construction
     r = x_int - x0_int * q
     exp_int, exp_sf = _int_polynomial(r, scaling_factor)
-    exp_int = jnp.maximum(jnp.floor(exp_int * 2.0 ** (n - q)), 0.0)
+    exp_int = jnp.maximum(floor_fn(ste)(exp_int * 2.0 ** (n - q)), 0.0)
     return exp_int, exp_sf / 2.0**n
 
 
-def int_softmax(x, scaling_factor):
+def int_softmax(x, scaling_factor, ste: bool = False):
     """(exp_int, exp_int_sum) of the shifted input (layers.py:331-365)."""
-    return int_softmax_from_int(x / scaling_factor, scaling_factor)
+    return int_softmax_from_int(x / scaling_factor, scaling_factor, ste)
 
 
-def int_softmax_from_int(x_int, scaling_factor):
+def int_softmax_from_int(x_int, scaling_factor, ste: bool = False):
     """Same, but taking the integer representation directly (the integer
     pipeline's attention scores arrive as int codes already)."""
     x_int = x_int - jnp.max(x_int, axis=-1, keepdims=True)
-    exp_int, _ = _int_exp(x_int, scaling_factor)
+    exp_int, _ = _int_exp(x_int, scaling_factor, ste=ste)
     exp_sum = jnp.sum(exp_int, axis=-1, keepdims=True)
     return exp_int, exp_sum
 
 
-def _lis_tail(exp_int, exp_sum, bit_type: BitType):
+def _lis_tail(exp_int, exp_sum, bit_type: BitType, ste: bool = False):
     # Reference LIS width is uint4; wider codes would need compare-correct
     # integer thresholds (3*2^k) because near 2^(2^bits) the 4/3 integer gap
     # is relatively tiny and hardware log2 error can flip the floor — see
@@ -75,7 +81,7 @@ def _lis_tail(exp_int, exp_sum, bit_type: BitType):
         raise NotImplementedError(
             "LIS tail is hardened for bits<=4 only (reference BIT_TYPE_S is "
             "uint4); bits>4 needs compare-correct 3*2^k thresholds")
-    softmax_inv = jnp.round(exp_sum / exp_int)
+    softmax_inv = round_fn(ste)(exp_sum / exp_int)
     # log_round(m) == floor(log2(2m/3)) + 1 == floor(log2(4m/3)) for every
     # integer m >= 1: the bump condition m >= 1.5*2^f folds into the shifted
     # log.  The (1 + 2^-17) nudge guards the fold against hardware log2
@@ -88,18 +94,21 @@ def _lis_tail(exp_int, exp_sum, bit_type: BitType):
     # absolute gap at the boundary dwarfs the nudge.
     y = softmax_inv * (4.0 / 3.0 * (1.0 + 2.0**-17))
     sat = y >= 2.0 ** (2.0**bit_type.bits)
-    deq = jnp.exp2(-jnp.floor(jnp.log2(y)))
+    deq = jnp.exp2(-floor_fn(ste)(jnp.log2(y)))
     return jnp.where(sat, 0.0, deq)
 
 
-def log_int_softmax(x, scaling_factor, bit_type: BitType):
+def log_int_softmax(x, scaling_factor, bit_type: BitType,
+                    ste: bool = False):
     """Full LIS: integer softmax → log2 quantize to ``bit_type`` → dequantize
     2^-q with saturation mask → 0 (layers.py:367-376).
 
     x: attention logits already fake-quantized on ``scaling_factor`` grid.
-    Returns the dequantized softmax output in float.
+    Returns the dequantized softmax output in float.  ``ste``: QAT-path
+    straight-through rounding (grad-wise the tail behaves like
+    (3/4)·exp_int/exp_sum — the softmax shape).
     """
-    return _lis_tail(*int_softmax(x, scaling_factor), bit_type)
+    return _lis_tail(*int_softmax(x, scaling_factor, ste), bit_type, ste)
 
 
 def log_int_softmax_from_int(x_int, scaling_factor, bit_type: BitType):

@@ -8,9 +8,30 @@ arrays; broadcasting replaces the reference's ``get_reshape_range``
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from .bit_types import BitType
+
+
+def ste_round(x):
+    """round(x) forward, identity gradient (straight-through estimator).
+    The QAT path's rounding surrogate — no reference equivalent (the
+    reference never differentiates through its quantizers)."""
+    return x + jax.lax.stop_gradient(jnp.round(x) - x)
+
+
+def ste_floor(x):
+    """floor(x) forward, identity gradient."""
+    return x + jax.lax.stop_gradient(jnp.floor(x) - x)
+
+
+def round_fn(ste: bool):
+    return ste_round if ste else jnp.round
+
+
+def floor_fn(ste: bool):
+    return ste_floor if ste else jnp.floor
 
 
 def reshape_range(shape_len: int, module_type: str):
@@ -29,9 +50,11 @@ def reshape_range(shape_len: int, module_type: str):
     raise NotImplementedError(module_type)
 
 
-def quantize(x, scale, zero_point, bit_type: BitType):
-    """x -> integer grid (still float dtype), clamped to the bit-type bounds."""
-    q = jnp.round(x / scale + zero_point)
+def quantize(x, scale, zero_point, bit_type: BitType, ste: bool = False):
+    """x -> integer grid (still float dtype), clamped to the bit-type bounds.
+    ``ste=True`` makes the round a straight-through estimator (clip still
+    zeroes out-of-range gradients — clipped STE) for the QAT path."""
+    q = round_fn(ste)(x / scale + zero_point)
     return jnp.clip(q, bit_type.lower_bound, bit_type.upper_bound)
 
 
@@ -39,9 +62,10 @@ def dequantize(q, scale, zero_point):
     return (q - zero_point) * scale
 
 
-def fake_quant(x, scale, zero_point, bit_type: BitType):
+def fake_quant(x, scale, zero_point, bit_type: BitType, ste: bool = False):
     """quantize-then-dequantize (uniform.py via base.py:42-45 forward)."""
-    return dequantize(quantize(x, scale, zero_point, bit_type), scale, zero_point)
+    return dequantize(quantize(x, scale, zero_point, bit_type, ste),
+                      scale, zero_point)
 
 
 def log2_quant(x, bit_type: BitType):

@@ -59,6 +59,14 @@ def build_parser():
                         "beyond-the-reference, calib/adaround.py)")
     p.add_argument("--adaround-steps", default=1000, type=int,
                    help="Adam steps per weight site for --adaround")
+    p.add_argument("--qat-steps", default=0, type=int,
+                   help="if > 0, distillation-QAT steps after calibration: "
+                        "fine-tune the latent weights through the "
+                        "STE-threaded quantized forward toward the FP "
+                        "teacher on the calibration batch(es) "
+                        "(beyond-the-reference, calib/qat.py). ViT/DeiT")
+    p.add_argument("--qat-lr", default=1e-5, type=float,
+                   help="Adam learning rate for --qat-steps")
     p.add_argument("--bias-corr", default=False, action="store_true",
                    help="after calibration (and --adaround if given), "
                         "fold the empirical per-channel quantization mean "
@@ -279,6 +287,13 @@ def main(argv=None):
                         for before, after in report.values() if before > 0]
                 print(f"AdaRound: {len(report)} sites, mean site-MSE "
                       f"reduction {100.0 * float(np.mean(imps)):.1f}%")
+            if args.qat_steps > 0:
+                print(f"Distillation QAT ({args.qat_steps} steps, "
+                      f"lr {args.qat_lr:g})...")
+                losses = model.qat(calib, bit_config,
+                                   steps=args.qat_steps, lr=args.qat_lr)
+                print(f"QAT: distill MSE {losses[0]:.3e} -> "
+                      f"{losses[-1]:.3e}")
             if args.bias_corr:
                 print("Bias correction (DFQ-style mean-shift fold)...")
                 report = model.bias_correct(calib, bit_config)
