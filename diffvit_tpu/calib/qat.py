@@ -31,26 +31,28 @@ def qat_distill(params, qp, spec, cfg: QuantConfig, batches,
     """Distill ``forward_q(params)`` toward ``forward_fp(fp_params)`` by
     MSE on logits.  ``batches``: one array or a list (cycled over steps).
     Returns ``(new_params, losses)`` — losses is the per-step trajectory.
-    ViT/DeiT specs (the Swin quantized body is not STE-threaded yet)."""
+    Works for ViT/DeiT and Swin (both quantized bodies are STE-threaded)."""
     from ..models import swin, vit
 
-    if isinstance(spec, swin.SwinSpec):
-        raise NotImplementedError(
-            "QAT distillation is wired for ViT/DeiT specs")
+    mod = swin if isinstance(spec, swin.SwinSpec) else vit
     if fp_params is None:
         fp_params = params
-    if bit_config is None:
-        bit_config = (cfg.bit_w.bits,) * vit.num_bit_slots(spec)
-    bit_config = tuple(int(b) for b in bit_config)
+    if mod is swin:
+        bit_config = swin.normalize_bit_config(
+            spec, bit_config if bit_config is not None else cfg.bit_w.bits)
+    else:
+        if bit_config is None:
+            bit_config = (cfg.bit_w.bits,) * vit.num_bit_slots(spec)
+        bit_config = tuple(int(b) for b in bit_config)
     if not isinstance(batches, (list, tuple)):
         batches = [batches]
     batches = [jnp.asarray(b) for b in batches]
 
-    teacher = jax.jit(lambda x: vit.forward_fp(fp_params, spec, x))
+    teacher = jax.jit(lambda x: mod.forward_fp(fp_params, spec, x))
     targets = [teacher(b) for b in batches]
 
     def loss_fn(p, x, target):
-        y = vit.forward_q(p, qp, spec, cfg, x, bit_config, ste=True)
+        y = mod.forward_q(p, qp, spec, cfg, x, bit_config, ste=True)
         return jnp.mean((y - target) ** 2)
 
     opt = optax.adam(lr)

@@ -147,8 +147,8 @@ class QuantizedViT:
         float weights through the STE-threaded quantized forward toward
         the original FP teacher.  Beyond-the-reference (the reference
         never differentiates through its quantizers).  Replaces
-        ``self.params``; returns the per-step loss trajectory.  ViT/DeiT
-        specs.  Requires calibration."""
+        ``self.params``; returns the per-step loss trajectory.  Works for
+        ViT/DeiT and Swin.  Requires calibration."""
         if self.qparams is None:
             raise RuntimeError("calibrate first")
         from .calib.qat import qat_distill

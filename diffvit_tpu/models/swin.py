@@ -561,30 +561,31 @@ def normalize_bit_config(spec: SwinSpec, bit):
 
 
 def forward_q(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bit=None,
-              taps=None, w_in_taps=None):
+              taps=None, w_in_taps=None, ste: bool = False):
     """Fully-quantized Swin inference.  ``bit``: uniform weight bit
     (reference behavior) or a per-slot bit_config (see
     normalize_bit_config) — the per-layer mixed-precision extension the
     reference lacks for Swin.  ``w_in_taps``: optional (site, input)
     collection per weight site for the AdaRound reconstruction
-    (calib/adaround.py)."""
+    (calib/adaround.py).  ``ste``: straight-through rounding for the QAT
+    path (primal values identical; see models/vit.forward_q)."""
     bc = normalize_bit_config(spec, bit if bit is not None
                               else cfg.bit_w.bits)
 
     def wfn(path, w, slot):
         if bc[slot] == -1:
             return w
-        return _q_weight(qp, path, w, bc[slot])
+        return _q_weight(qp, path, w, bc[slot], ste)
 
     def lnfloat(slot):
         return bc[slot] == -1
 
     return _forward_q_body(params, qp, spec, cfg, x, wfn, lnfloat, taps,
-                           w_in_taps)
+                           w_in_taps, ste)
 
 
 def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
-                    lnfloat, taps=None, w_in_taps=None):
+                    lnfloat, taps=None, w_in_taps=None, ste: bool = False):
     """Shared quantized-forward body: ``wfn(qp_path, w, slot)`` supplies
     the (fake-quantized / float / bit-traced) weight per slot;
     ``lnfloat(slot)`` flips the LN feeding that slot to float (static
@@ -604,19 +605,20 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
         if not cfg.int_norm or lnfloat(consumer_slot):
             return float_layernorm(x_, ln["w"], ln["b"], eps)
         return int_layernorm(x_, ln["w"], ln["b"], qp[f"{in_path}.scale"],
-                             qp[f"{out_path}.scale"], in_scale_expand=expand)
+                             qp[f"{out_path}.scale"], in_scale_expand=expand,
+                             ste=ste)
 
     if spec.input_quant:
-        x = _fq(qp, "qact_input", x, bt_a)
+        x = _fq(qp, "qact_input", x, bt_a, ste)
     pe = params["patch_embed"]
     patches = swin_patchify(x, spec)
     wtap("patch", patches)
     h = patches @ wfn("patch.w", pe["proj"]["w"], 0).T + pe["proj"]["b"]
     tap("patch_embed.proj", h)
     if pe["norm"] is not None:
-        h = _fq(qp, "patch.qact_bn", h, bt_a)
+        h = _fq(qp, "patch.qact_bn", h, bt_a, ste)
         h = norm(pe["norm"], h, "patch.qact_bn", "patch.qact", 0)
-    h = _fq(qp, "patch.qact", h, bt_a)
+    h = _fq(qp, "patch.qact", h, bt_a, ste)
     last_q = "patch.qact"
     slot = 1  # 0 was the patch conv; flops_list order from here
 
@@ -629,7 +631,7 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
             res, ws, shift, mask = geom
             shortcut = h
             y = norm(blk["norm1"], h, last_q, f"{p}.qact1", s_qkv)
-            y = _fq(qp, f"{p}.qact1", y, bt_a)
+            y = _fq(qp, f"{p}.qact1", y, bt_a, ste)
             yw = _windows(y, res, ws, shift)
 
             def qkv_fn(t, p=p, blk=blk, s_qkv=s_qkv):
@@ -637,7 +639,7 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
                 out = t @ wfn(f"{p}.attn.qkv.w", blk["qkv"]["w"],
                               s_qkv).T + blk["qkv"]["b"]
                 tap(f"{p}.attn.qkv", out)
-                return _fq(qp, f"{p}.attn.qact1", out, bt_a)
+                return _fq(qp, f"{p}.attn.qact1", out, bt_a, ste)
 
             def proj_fn(t, p=p, blk=blk, s_proj=s_proj):
                 wtap(f"{p}.attn.proj", t)
@@ -649,36 +651,36 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
             def softmax_fn(a):
                 if cfg.lis:
                     return log_int_softmax(a, qp[f"{p}.attn.qact2.scale"],
-                                           cfg.bit_s)
+                                           cfg.bit_s, ste)
                 return jax.nn.softmax(a, axis=-1)
 
             aw = _attn_core(
                 yw, blk, spec, s, geom, softmax_fn,
                 {"qkv": qkv_fn,
-                 "qact_attn1": lambda t: _fq(qp, f"{p}.attn.qact_attn1", t, bt_a),
-                 "qact_table": lambda t: _fq(qp, f"{p}.attn.qact_table", t, bt_a),
-                 "qact2": lambda t: _fq(qp, f"{p}.attn.qact2", t, bt_a),
-                 "qact3": lambda t: _fq(qp, f"{p}.attn.qact3", t, bt_a),
+                 "qact_attn1": lambda t: _fq(qp, f"{p}.attn.qact_attn1", t, bt_a, ste),
+                 "qact_table": lambda t: _fq(qp, f"{p}.attn.qact_table", t, bt_a, ste),
+                 "qact2": lambda t: _fq(qp, f"{p}.attn.qact2", t, bt_a, ste),
+                 "qact3": lambda t: _fq(qp, f"{p}.attn.qact3", t, bt_a, ste),
                  "proj": proj_fn,
-                 "qact4": lambda t: _fq(qp, f"{p}.attn.qact4", t, bt_a)})
+                 "qact4": lambda t: _fq(qp, f"{p}.attn.qact4", t, bt_a, ste)})
             h = shortcut + _unwindows(aw, res, ws, shift, h.shape[0])
-            h = _fq(qp, f"{p}.qact2", h, bt_a)
+            h = _fq(qp, f"{p}.qact2", h, bt_a, ste)
 
             y = norm(blk["norm2"], h, f"{p}.qact2", f"{p}.qact3", s_fc1)
-            y = _fq(qp, f"{p}.qact3", y, bt_a)
+            y = _fq(qp, f"{p}.qact3", y, bt_a, ste)
             wtap(f"{p}.mlp.fc1", y)
             y = y @ wfn(f"{p}.mlp.fc1.w", blk["fc1"]["w"], s_fc1).T \
                 + blk["fc1"]["b"]
             tap(f"{p}.mlp.fc1", y)
             y = jax.nn.gelu(y, approximate=False)
-            y = _fq(qp, f"{p}.mlp.qact1", y, bt_a)
+            y = _fq(qp, f"{p}.mlp.qact1", y, bt_a, ste)
             wtap(f"{p}.mlp.fc2", y)
             y = y @ wfn(f"{p}.mlp.fc2.w", blk["fc2"]["w"], s_fc2).T \
                 + blk["fc2"]["b"]
             tap(f"{p}.mlp.fc2", y)
-            y = _fq(qp, f"{p}.mlp.qact2", y, bt_a)
+            y = _fq(qp, f"{p}.mlp.qact2", y, bt_a, ste)
             h = h + y
-            h = _fq(qp, f"{p}.qact4", h, bt_a)
+            h = _fq(qp, f"{p}.qact4", h, bt_a, ste)
             last_q = f"{p}.qact4"
 
         if stage["downsample"] is not None:
@@ -689,22 +691,22 @@ def _forward_q_body(params, qp, spec: SwinSpec, cfg: QuantConfig, x, wfn,
             h = _merge_patches(h, spec.stage_resolution(s))
             # in_scale replicated 4x over the concat (⚠️2 fix: expand=4)
             h = norm(ds["norm"], h, last_q, f"{p}.qact1", s_red, expand=4)
-            h = _fq(qp, f"{p}.qact1", h, bt_a)
+            h = _fq(qp, f"{p}.qact1", h, bt_a, ste)
             wtap(f"{p}.reduction", h)
             h = h @ wfn(f"{p}.reduction.w", ds["reduction"]["w"], s_red).T
             tap(f"{p}.reduction", h)
-            h = _fq(qp, f"{p}.qact2", h, bt_a)
+            h = _fq(qp, f"{p}.qact2", h, bt_a, ste)
             last_q = f"{p}.qact2"
 
     h = norm(params["norm"], h, last_q, "qact2", slot)
-    h = _fq(qp, "qact2", h, bt_a)
+    h = _fq(qp, "qact2", h, bt_a, ste)
     h = jnp.mean(h, axis=1)
-    h = _fq(qp, "qact3", h, bt_a)
+    h = _fq(qp, "qact3", h, bt_a, ste)
     wtap("head", h)
     logits = h @ wfn("head.w", params["head"]["w"], slot).T \
         + params["head"]["b"]
     tap("head", logits)
-    return _fq(qp, "act_out", logits, bt_a)
+    return _fq(qp, "act_out", logits, bt_a, ste)
 
 
 def forward_q_bits(params, qp, spec: SwinSpec, cfg: QuantConfig, x, bits):

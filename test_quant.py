@@ -64,7 +64,7 @@ def build_parser():
                         "fine-tune the latent weights through the "
                         "STE-threaded quantized forward toward the FP "
                         "teacher on the calibration batch(es) "
-                        "(beyond-the-reference, calib/qat.py). ViT/DeiT")
+                        "(beyond-the-reference, calib/qat.py)")
     p.add_argument("--qat-lr", default=1e-5, type=float,
                    help="Adam learning rate for --qat-steps")
     p.add_argument("--bias-corr", default=False, action="store_true",

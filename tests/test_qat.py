@@ -72,6 +72,40 @@ def test_qat_distill_improves(setup):
     assert e(new_params) < e(params) * 0.9, (e(params), e(new_params))
 
 
+def test_swin_ste_and_qat():
+    """Swin's quantized body is STE-threaded too: primal bit-exact,
+    gradients flow, short distillation improves."""
+    from diffvit_tpu.models import swin
+
+    spec = swin.SwinSpec("swin_qat_test", embed_dim=32, depths=(1, 1),
+                         num_heads=(2, 2), window=7, img_size=56,
+                         num_classes=10)
+    params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 3, 56, 56))
+    cfg = QuantConfig()
+    qp, _ = swin.calibrate(params, spec, cfg, x)
+    q = swin.forward_q(params, qp, spec, cfg, x, 4)
+    q_ste = swin.forward_q(params, qp, spec, cfg, x, 4, ste=True)
+    np.testing.assert_array_equal(np.asarray(q), np.asarray(q_ste))
+
+    g = jax.grad(lambda p: jnp.mean(
+        swin.forward_q(p, qp, spec, cfg, x, 4, ste=True)**2))(params)
+    blk = g["layers"][0]["blocks"][0]
+    for leaf in [g["patch_embed"]["proj"]["w"], blk["qkv"]["w"],
+                 blk["fc2"]["w"], blk["rel_bias_table"],
+                 g["layers"][0]["downsample"]["reduction"]["w"],
+                 g["head"]["w"]]:
+        assert float(jnp.linalg.norm(leaf)) > 0
+
+    fp = swin.forward_fp(params, spec, x)
+    new_params, losses = qat_distill(params, qp, spec, cfg, x, 4,
+                                     steps=60, lr=1e-4)
+    assert losses[-1] < losses[0], (losses[0], losses[-1])
+    e = lambda p: float(jnp.linalg.norm(
+        swin.forward_q(p, qp, spec, cfg, x, 4) - fp) / jnp.linalg.norm(fp))
+    assert e(new_params) < e(params), (e(params), e(new_params))
+
+
 def test_engine_qat_method(setup):
     from diffvit_tpu.engine import QuantizedViT
 
