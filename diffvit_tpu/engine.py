@@ -72,7 +72,7 @@ class QuantizedViT:
         """Calibration (test_quant.py:234-249).  ``batch``: one array
         (single-batch protocol, the reference's active path) or a list of
         arrays (multi-batch observe-then-finalize, the reference's intended
-        --calib-iter protocol; ViT/DeiT only)."""
+        --calib-iter protocol; ViT/DeiT and Swin)."""
         if isinstance(batch, (list, tuple)):
             qp, dist = self._mod.calibrate_batches(
                 self.params, self.spec, self.cfg,
@@ -112,22 +112,42 @@ class QuantizedViT:
             self.qparams = mesh_mod.shard_replicated(self.mesh, self.qparams)
         return self.qparams
 
+    def _recon_input(self, batch, max_images):
+        """Build the reconstruction input for adaround/bias_correct from a
+        single calibration batch or a list of them.  The passes' per-site
+        taps materialize EVERY site for every image in one forward, so
+        total images are capped at ``max_images`` — taken evenly across
+        batches: AdaRound subsamples each site to ``max_rows`` rows anyway
+        (2048 rows ≈ 10 ViT images' tokens), so batch DIVERSITY is what a
+        multi-batch calibration buys, not row count (see the measured
+        single-batch overfit in scripts/qat_order_exp.py)."""
+        if not isinstance(batch, (list, tuple)):
+            return self._prep(jnp.asarray(batch))
+        bs = [self._prep(jnp.asarray(b)) for b in batch]
+        if max_images is not None:
+            total = sum(b.shape[0] for b in bs)
+            if total > max_images:
+                quota = -(-max_images // len(bs))  # ceil
+                bs = [b[:quota] for b in bs]
+        x = jnp.concatenate(bs, axis=0)
+        return x[:max_images] if max_images is not None else x
+
     def adaround(self, batch, bit_config=None, *, steps=1000,
-                 max_rows=2048, seed=0):
+                 max_rows=2048, seed=0, max_images=256):
         """Learned-rounding weight reconstruction (AdaRound,
         calib/adaround.py) — beyond-the-reference (the reference always
         rounds to nearest, uniform.py:50-56).  Replaces ``self.params``
         with the reconstructed pytree; every downstream consumer
         (forward_q, forward_q_bits, prepare_int, save_int_model) picks up
         the learned codes because they re-round bit-exactly.  Requires
-        calibration; ``batch`` is a calibration batch from any --mode."""
+        calibration; ``batch`` is a calibration batch from any --mode, or
+        a list of them (all consumed, capped at ``max_images`` images —
+        see _recon_input)."""
         if self.qparams is None:
             raise RuntimeError("calibrate first")
         from .calib.adaround import adaround_swin, adaround_vit
 
-        if isinstance(batch, (list, tuple)):
-            batch = batch[0]
-        x = self._prep(jnp.asarray(batch))
+        x = self._recon_input(batch, max_images)
         fn = adaround_swin if self.is_swin else adaround_vit
         new_params, report = fn(
             self.params, self.qparams, self.spec, self.cfg, x, bit_config,
@@ -164,19 +184,19 @@ class QuantizedViT:
         self._jit_cache.clear()  # cached int executables bake old weights
         return losses
 
-    def bias_correct(self, batch, bit_config=None):
+    def bias_correct(self, batch, bit_config=None, *, max_images=256):
         """DFQ-style empirical bias correction (calib/biascorr.py) —
         beyond-the-reference; zero inference cost.  Replaces
         ``self.params`` with the corrected pytree (biases are float and
         never quantized, so every execution path picks it up).  Composes
-        with ``adaround`` (run that first).  Requires calibration."""
+        with ``adaround`` (run that first).  Requires calibration.
+        ``batch`` may be a list of calibration batches (all consumed,
+        capped at ``max_images`` — see _recon_input)."""
         if self.qparams is None:
             raise RuntimeError("calibrate first")
         from .calib.biascorr import bias_correct
 
-        if isinstance(batch, (list, tuple)):
-            batch = batch[0]
-        x = self._prep(jnp.asarray(batch))
+        x = self._recon_input(batch, max_images)
         new_params, report = bias_correct(self.params, self.qparams,
                                           self.spec, self.cfg, x, bit_config,
                                           fp_params=self.fp_params)

@@ -262,7 +262,15 @@ def main(argv=None):
             print("Calibrating with generated data...")
         elif args.mode == 1:
             print("Calibrating with Gaussian noise...")
-            calib = gaussian_calibration(args.calib_batchsize, args.seed)
+            if args.calib_multi_batch:
+                # --calib-iter distinct Gaussian batches: the recovery
+                # passes (--adaround/--qat-steps/--bias-corr) overfit a
+                # single batch (measured, scripts/qat_order_exp.py)
+                calib = [gaussian_calibration(args.calib_batchsize,
+                                              args.seed + i)
+                         for i in range(args.calib_iter)]
+            else:
+                calib = gaussian_calibration(args.calib_batchsize, args.seed)
         else:
             print("Calibrating with real data...")
             if args.calib_multi_batch:
@@ -277,9 +285,11 @@ def main(argv=None):
             the uniform default).  Under --mixed this runs AFTER the
             search at the winning config, so the reconstruction matches
             what actually ships."""
+            nb = len(calib) if isinstance(calib, (list, tuple)) else 1
             if args.adaround:
                 print(f"AdaRound reconstruction "
-                      f"({args.adaround_steps} steps/site)...")
+                      f"({args.adaround_steps} steps/site, "
+                      f"{nb} calib batch{'es' if nb > 1 else ''})...")
                 report = model.adaround(calib, bit_config,
                                         steps=args.adaround_steps,
                                         seed=args.seed)
