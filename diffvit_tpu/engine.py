@@ -288,8 +288,12 @@ class QuantizedViT:
                              cfg=self.cfg, bit=bit_config)
                 jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=self._prep(x)))
             elif quant:
+                # sp meshes: token-shard the residual stream (the
+                # sequence-parallel axis; Swin's windowed stages restructure
+                # tokens and keep their native GSPMD propagation instead)
                 fn = partial(self._mod.forward_q, spec=self.spec,
-                             cfg=self.cfg, bit_config=bit_config)
+                             cfg=self.cfg, bit_config=bit_config,
+                             act_constraint=mesh_mod.act_constraint(self.mesh))
                 jfn = jax.jit(lambda p, qp, x: fn(p, qp, x=self._prep(x)))
             else:
                 fn = partial(self._mod.forward_fp, spec=self.spec)

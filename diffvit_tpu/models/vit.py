@@ -708,7 +708,7 @@ def _q_norm(qp, x, ln, in_path, out_scale, out_ch, cfg: QuantConfig,
 
 def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
               bit_config=None, taps=None, w_in_taps=None,
-              ste: bool = False):
+              ste: bool = False, act_constraint=None):
     """Fully-quantized forward.  ``bit_config``: tuple of 4*depth+2 ints in
     {4, 8, -1} (None -> all cfg.bit_w.bits, matching test_quant.py:412's
     [4]*50 default).  Returns logits; FLOPs/global_distance companions are
@@ -722,7 +722,13 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
 
     ``ste=True`` makes every rounding a straight-through estimator so the
     forward is differentiable w.r.t. ``params`` (identical primal values)
-    — the QAT-distillation path (calib/qat.py); no reference equivalent."""
+    — the QAT-distillation path (calib/qat.py); no reference equivalent.
+
+    ``act_constraint``: optional callable applied to the (B, N, C) residual
+    stream at every block boundary — the sequence-parallel hook
+    (parallel/mesh.act_constraint places a with_sharding_constraint that
+    token-shards over the mesh's sp axis; GSPMD inserts the attention
+    all-gathers).  Identity semantics: constraints never change values."""
     if bit_config is None:
         bit_config = (cfg.bit_w.bits,) * num_bit_slots(spec)
     bit_config = tuple(int(v) for v in bit_config)
@@ -759,6 +765,8 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     h = _fq(qp, "qact1", h, cfg.bit_a, ste)
 
     for i, blk in enumerate(params["blocks"]):
+        if act_constraint is not None:
+            h = act_constraint(h)
         p = f"blocks.{i}"
         b_qkv, b_proj, b_fc1, b_fc2 = bit_config[4 * i + 1: 4 * i + 5]
         in_path = "qact1" if i == 0 else f"blocks.{i-1}.qact4"

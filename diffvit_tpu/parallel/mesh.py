@@ -10,6 +10,13 @@ the eval/search loops over a ``jax.sharding.Mesh`` instead:
   collectives over ICI.  At ViT scale tp is not needed for memory, but the
   sharding rules keep every kernel shard_map/GSPMD-compatible and demonstrate
   the full layout story for larger derivatives.
+* **sp** axis (optional, megatron sequence-parallel): the (B, N, C) residual
+  stream is token-sharded between blocks via a `with_sharding_constraint` on
+  the fake-quant forward (`vit.forward_q(act_constraint=...)`); GSPMD
+  all-gathers tokens where attention needs full key/value visibility and
+  keeps LN/MLP/elementwise work token-partitioned.  Cuts per-device
+  activation memory ~sp-fold for long-token derivatives; non-divisible N
+  (e.g. 197) is handled by XLA's implicit shard padding.
 
 Quantization parameters (scales) are small and replicated; GSPMD reshards
 them on the fly where a matmul needs a sharded operand's scale.
@@ -22,20 +29,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
-              tp: int | None = None, devices=None) -> Mesh:
-    """Create a (dp, tp) mesh.  Defaults: use every device, all-dp."""
+              tp: int | None = None, sp: int | None = None,
+              devices=None) -> Mesh:
+    """Create a (dp, tp[, sp]) mesh.  Defaults: use every device, all-dp.
+    The sp axis is only materialized when sp > 1 (2-axis meshes stay the
+    common case and every P() spec that doesn't name "sp" is unaffected)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
+    sp_ = 1 if sp is None else sp
     if dp is None and tp is None:
-        dp, tp = n, 1
+        dp, tp = n // sp_, 1
     elif dp is None:
-        dp = n // tp
+        dp = n // (tp * sp_)
     elif tp is None:
-        tp = n // dp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
+        tp = n // (dp * sp_)
+    assert dp * tp * sp_ == n, f"mesh {dp}x{tp}x{sp_} != {n} devices"
+    if sp_ > 1:
+        dev = np.asarray(devices).reshape(dp, tp, sp_)
+        return Mesh(dev, axis_names=("dp", "tp", "sp"))
     dev = np.asarray(devices).reshape(dp, tp)
     return Mesh(dev, axis_names=("dp", "tp"))
 
@@ -89,6 +103,17 @@ def replicated(mesh: Mesh, tree):
 
 def batch_sharding(mesh: Mesh):
     return NamedSharding(mesh, P("dp"))
+
+
+def act_constraint(mesh: Mesh | None):
+    """Sequence-parallel residual-stream constraint for vit.forward_q's
+    ``act_constraint`` hook: token-shard (B, N, C) activations over the sp
+    axis (batch stays dp-sharded).  Returns None when the mesh has no sp
+    axis (or sp == 1) so the forward stays untouched in the common case."""
+    if mesh is None or "sp" not in mesh.shape or mesh.shape["sp"] == 1:
+        return None
+    sh = NamedSharding(mesh, P("dp", "sp", None))
+    return lambda h: jax.lax.with_sharding_constraint(h, sh)
 
 
 def shard_params(mesh: Mesh, params):

@@ -53,6 +53,16 @@ def build_parser():
                         "when >1 device is visible; 1 disables)")
     p.add_argument("--tp", default=1, type=int,
                    help="tensor-parallel mesh size (megatron shardings)")
+    p.add_argument("--sp", default=1, type=int,
+                   help="sequence-parallel mesh size: token-shard the "
+                        "residual stream between blocks (ViT/DeiT "
+                        "fake-quant path; parallel/mesh.act_constraint)")
+    p.add_argument("--host-devices", default=0, type=int,
+                   help="create N virtual CPU devices for mesh testing "
+                        "without N chips (the env-var forms of this knob "
+                        "are broken in this JAX — see "
+                        "__graft_entry__.dryrun_multichip); use with "
+                        "--device cpu")
     p.add_argument("--adaround", default=False, action="store_true",
                    help="after calibration, learn per-weight up/down "
                         "rounding on the calibration batch (AdaRound; "
@@ -139,11 +149,30 @@ def main(argv=None):
         args.data = args.data_pos
     seed_everything(args.seed)
 
-    if args.device and args.device != "tpu":
-        import jax
-        jax.config.update("jax_platforms", args.device)
+    platforms = None
+    if args.host_devices:
+        # mirror __graft_entry__.dryrun_multichip: in this JAX the env-var
+        # forms of these knobs initialize (or break) the backend at import,
+        # so translate them to config updates BEFORE first device use
+        import re
+        flags = os.environ.get("XLA_FLAGS", "")
+        cleaned = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                         flags)
+        if cleaned != flags:
+            os.environ["XLA_FLAGS"] = cleaned.strip()
+        platforms = os.environ.pop("JAX_PLATFORMS", None)
 
     import jax
+
+    # precedence: explicit --device beats the ambient JAX_PLATFORMS (this
+    # rig exports JAX_PLATFORMS=axon for the TPU tunnel — popping it above
+    # and re-applying it here would clobber --device cpu)
+    if platforms:
+        jax.config.update("jax_platforms", platforms)
+    if args.device and args.device != "tpu":
+        jax.config.update("jax_platforms", args.device)
+    if args.host_devices:
+        jax.config.update("jax_num_cpu_devices", args.host_devices)
 
     from diffvit_tpu.config import QuantConfig
     from diffvit_tpu.engine import QuantizedViT, validate, validate_bits
@@ -156,13 +185,16 @@ def main(argv=None):
     print(f"Model: {args.model}")
     mesh = None
     n_dev = len(jax.devices())
-    if args.dp is not None or args.tp != 1 or n_dev > 1:
+    if args.dp is not None or args.tp != 1 or args.sp != 1 or n_dev > 1:
         from diffvit_tpu.parallel.mesh import make_mesh
 
-        dp = args.dp if args.dp is not None else max(1, n_dev // args.tp)
-        if dp * args.tp > 1:
-            mesh = make_mesh(dp * args.tp, dp=dp, tp=args.tp)
-            print(f"mesh: dp={dp} tp={args.tp}")
+        dp = args.dp if args.dp is not None else max(
+            1, n_dev // (args.tp * args.sp))
+        if dp * args.tp * args.sp > 1:
+            mesh = make_mesh(dp * args.tp * args.sp, dp=dp, tp=args.tp,
+                             sp=args.sp)
+            print(f"mesh: dp={dp} tp={args.tp}"
+                  + (f" sp={args.sp}" if args.sp > 1 else ""))
     pp = preprocessing_for(args.model)
     if args.save_int and not args.quant:
         raise SystemExit("--save-int bakes a calibrated integer model; "

@@ -26,6 +26,32 @@ def test_mesh_shapes(eight_devices):
     assert dict(m2.shape) == {"dp": 8, "tp": 1}
 
 
+def test_sp_sequence_parallel_matches_single(eight_devices):
+    """dp=2 x tp=2 x sp=2: the token-sharded residual stream (sequence
+    parallel, mesh.act_constraint) is semantically the identity — the
+    sharded eval must match the single-device forward.  N=197 is not
+    divisible by sp=2; XLA's implicit shard padding must handle it."""
+    m = mesh_mod.make_mesh(8, dp=2, tp=2, sp=2)
+    assert dict(m.shape) == {"dp": 2, "tp": 2, "sp": 2}
+    assert mesh_mod.act_constraint(m) is not None
+    assert mesh_mod.act_constraint(mesh_mod.make_mesh(8, tp=2)) is None
+
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((8, 3, 224, 224)) \
+        .astype("float32")
+    calib = np.random.default_rng(1).standard_normal((2, 3, 224, 224)) \
+        .astype("float32")
+
+    single = QuantizedViT(TINY, QuantConfig(), params=params)
+    single.calibrate(calib)
+    ref = np.asarray(single(x))
+
+    sharded = QuantizedViT(TINY, QuantConfig(), params=params, mesh=m)
+    sharded.qparams = single.qparams
+    got = np.asarray(sharded(x))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_param_shardings_rules(eight_devices):
     m = mesh_mod.make_mesh(8, tp=2)
     params = vit.init_params(TINY, jax.random.PRNGKey(0))
