@@ -213,6 +213,11 @@ class QuantizedViT:
         bit_config is the uniform weight bit or a per-slot sequence."""
         if self.qparams is None:
             raise RuntimeError("calibrate first")
+        if self.mesh is not None and self.mesh.shape.get("pp", 1) > 1 \
+                and self.is_swin:
+            raise ValueError("pipeline parallelism supports the ViT family "
+                             "(a Swin stage changes resolution mid-network, "
+                             "so its depth axis is not SPMD-uniform)")
         if self.is_swin:
             from .models import swin_int as int_mod
 
@@ -242,9 +247,13 @@ class QuantizedViT:
                                      self.cfg, bit_config)
             if self.mesh is not None:
                 ip = mesh_mod.shard_int_params(self.mesh, ip)
-            self._jit_cache[key] = jax.jit(
-                lambda x: vit_int.forward_q_int(ip, self.spec, self.cfg,
-                                                self._prep(x)))
+            if self.mesh is not None and self.mesh.shape.get("pp", 1) > 1:
+                self._jit_cache[key] = _pp_int_forward(
+                    ip, self.spec, self.cfg, self.mesh, self._prep)
+            else:
+                self._jit_cache[key] = jax.jit(
+                    lambda x: vit_int.forward_q_int(ip, self.spec, self.cfg,
+                                                    self._prep(x)))
         return self._jit_cache[key]
 
     def save_int_model(self, path, bit_config=None):
@@ -370,6 +379,35 @@ class QuantizedViT:
         return self._mod.flops_list(self.spec)
 
 
+def _pp_int_forward(ip, spec, cfg, mesh, prep):
+    """Jitted integer forward over a pipeline-parallel (pp) mesh
+    (parallel/pipeline.py: GPipe microbatch schedule, int8-codes
+    stage-to-stage wire).  Batches are zero-padded up to the
+    n_micro x dp granularity the schedule shards by and the pad rows'
+    logits sliced away (shapes are static under jit, so real batch sizes
+    each trace once, like every other cached forward)."""
+    from .parallel import pipeline
+
+    pp = mesh.shape["pp"]
+    dp = mesh.shape.get("dp", 1)
+    plan = pipeline.prepare_pp(ip, spec, cfg, pp)
+
+    def fwd(x):
+        x = prep(x)
+        b = x.shape[0]
+        n_micro = 2 * pp if b >= 2 * pp * dp else pp
+        gran = n_micro * dp
+        pad = (-b) % gran
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:],
+                                              x.dtype)])
+        out = pipeline.forward_q_int_pp(ip, plan, spec, cfg, x, mesh,
+                                        n_micro=n_micro)
+        return out[:b]
+
+    return jax.jit(fwd)
+
+
 class IntModel:
     """A deployed integer model loaded from a save_int_model artifact:
     just the baked int pytree + spec/cfg, with the same jitted-forward and
@@ -397,6 +435,12 @@ class IntModel:
         self.is_swin = is_swin
         mean, std = input_norm
         prep = partial(device_normalize, mean=mean, std=std)
+        if mesh is not None and mesh.shape.get("pp", 1) > 1:
+            if is_swin or resident:
+                raise ValueError("pipeline parallelism supports the ViT "
+                                 "family, per-kernel path")
+            self._fwd = _pp_int_forward(ip, spec, cfg, mesh, prep)
+            return
         if resident:
             if is_swin or mesh is not None:
                 raise ValueError("resident serving kernel supports the "

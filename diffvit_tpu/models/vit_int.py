@@ -298,6 +298,251 @@ def _head_tail(ip, spec: ViTSpec, cfg: QuantConfig, h, hc):
     return _fq_site(ip["act_out"], logits, bt_a)
 
 
+def _block_int(ib, bits4, in_scale, h, hc, spec: ViTSpec, cfg: QuantConfig,
+               *, use_pallas, pallas_interpret=False, sym_acts=False,
+               lis_fast_override=None):
+    """One encoder block of the integer path: (h, hc) -> (h, hc).
+
+    ``h`` is the f32 residual stream (meaningless while ``hc`` is set);
+    ``hc`` its int8 CODES on the ``in_scale`` grid (value = hc * in_scale).
+    Between two fully-fused blocks the f32 stream never materializes — the
+    fences read/write 4x less HBM, the integer LNs consume the codes
+    directly, and the MLP kernel emits codes (emit_codes).  Value-identical
+    to the f32 path: fake-quant output IS codes*scale (zp==0 guaranteed by
+    sym_acts).  Factored out of forward_q_int so the pipeline-parallel
+    stage body (parallel/pipeline.py) runs the identical math;
+    ``lis_fast_override`` lets callers whose scales are traced (pp stages)
+    pass the host-precomputed fast-LIS gate."""
+    b_qkv, b_proj, b_fc1, b_fc2 = bits4
+    bt_a = cfg.bit_a
+    eps = spec.ln_eps
+    h_dim, n_heads = spec.head_dim, spec.num_heads
+    ref = h if hc is None else hc
+    B, N = ref.shape[0], ref.shape[1]
+
+    # ---- attention ----
+    qkv_site = ib["qkv"]
+    proj_site = ib["proj"]
+    fc1_site = ib["fc1"]
+    fc2_site = ib["fc2"]
+    s1 = ib["attn.qact1"]["scale"]
+    s_a = ib["attn.qact_attn1"]["scale"]
+    s2 = ib["attn.qact2"]["scale"]
+    bt_s = cfg.bit_s
+    x_i8 = None
+    y = None
+    fused2_path = (use_pallas and not qkv_site["fp"]
+                   and not proj_site["fp"] and cfg.int_norm
+                   and cfg.smoothquant)
+    mlp_fused = (use_pallas and cfg.int_norm and not fc1_site["fp"]
+                 and not fc2_site["fp"] and b_fc2 != -1)
+    codes_path = fused2_path and mlp_fused and sym_acts
+    if codes_path and hc is None:
+        # enter codes mode: h is a fake-quant output on the in_scale
+        # grid, so round(h/in_scale) recovers its codes exactly
+        hc = jnp.clip(jnp.round(h / in_scale), bt_a.lower_bound,
+                      bt_a.upper_bound).astype(I8)
+    elif not codes_path and hc is not None:
+        # leave codes mode (fp site / -1 layer in this block)
+        h = hc.astype(jnp.float32) * in_scale
+        hc = None
+    if qkv_site["fp"]:
+        y = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
+        y = y @ qkv_site["w"].T + qkv_site["b"]
+    else:
+        if codes_path:
+            x_i8 = _ln_int8(None, ib["norm1"], in_scale,
+                            qkv_site["in_scale"], eps, x_codes=hc)
+        elif cfg.int_norm and b_proj != -1:
+            x_i8 = _ln_int8(h, ib["norm1"], in_scale, qkv_site["in_scale"], eps)
+        else:
+            yf = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
+            x_i8 = _requant_i8(yf, qkv_site["in_scale"])
+        if not fused2_path:
+            y = _int_dot(x_i8, qkv_site["w_int"]).astype(jnp.float32) \
+                * qkv_site["mult"] + qkv_site["b"]
+
+    if not fused2_path:
+        qkv_i8 = _requant_i8(y, s1)
+    if fused2_path:
+        from ..ops.pallas.attention import fused_qkv_attention_v2
+
+        # rows only need sublane (8) alignment; 200 instead of 256 cuts
+        # ~22% of the LIS VPU work for the 197-token sequence.
+        # (fused_attention_block, which additionally folds proj +
+        # residual + fences into the kernel, measured 17% SLOWER here:
+        # the f32 residual blocks double per-program DMA and the K=64
+        # per-head proj slices starve the MXU — kept as an alternative.
+        # v2 runs the qkv projection as one full-width matmul instead
+        # of per-head (Cin, 64) slices — 64 output lanes fill half the
+        # 128-wide MXU — measured 15.1 -> 13.4 ms/step at b192.)
+        npad = _round_up(N, 8)
+        x_p = jnp.pad(x_i8, ((0, 0), (0, npad - N), (0, 0)))
+        scalars2 = jnp.stack([
+            s_a, s1 * s1 * spec.attn_scale / s_a, 1.0 / s1, s1 / s2,
+        ]).astype(jnp.float32)
+        # static fast-LIS gate: drop the provably-no-op floor/max on
+        # exp_int when the (concrete, trace-time) softmax scale is in
+        # the validity window — see pallas _lis_body docstring
+        lis_fast = False
+        if lis_fast_override is not None:
+            lis_fast = bool(lis_fast_override)
+        elif not isinstance(s_a, jax.core.Tracer):
+            sv = float(jax.device_get(s_a))
+            lis_fast = 2.0**-10 <= sv <= 0.6931
+        o_i8 = fused_qkv_attention_v2(
+            x_p, qkv_site["w_int"], qkv_site["mult"], qkv_site["b"],
+            scalars2, num_heads=n_heads, head_dim=h_dim,
+            n_real=N, bits=bt_s.bits, lis=cfg.lis, lis_fast=lis_fast,
+            interpret=pallas_interpret)
+        o_i8 = o_i8[:, :, :N]  # (B, H, N, D)
+        # proj consumes the head layout via a joint (H, D) contraction
+        w_hdc = proj_site["w_int"].reshape(n_heads, h_dim, -1)
+        y = jax.lax.dot_general(
+            o_i8, w_hdc, (((1, 3), (0, 1)), ((), ())),
+            preferred_element_type=I32).astype(jnp.float32) \
+            * proj_site["mult"] + proj_site["b"]
+    elif use_pallas and not proj_site["fp"]:
+        from ..ops.pallas.attention import fused_int_attention
+
+        npad = _round_up(N, 128)
+        qkv_p = jnp.pad(qkv_i8, ((0, 0), (0, npad - N), (0, 0)))
+        qkv_p = qkv_p.reshape(B, npad, 3, n_heads, h_dim) \
+            .transpose(0, 2, 3, 1, 4)  # (B, 3, H, N, D)
+        scalars = jnp.stack([s1 * s1 * spec.attn_scale / s_a,
+                             s1 / s2, s_a]).astype(jnp.float32)
+        o_i8 = fused_int_attention(
+            qkv_p, scalars, num_heads=n_heads, n_real=N,
+            bits=bt_s.bits, lis=cfg.lis, interpret=pallas_interpret)
+        o_i8 = o_i8.transpose(0, 2, 1, 3)[:, :N] \
+            .reshape(B, N, spec.embed_dim)
+        y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
+            * proj_site["mult"] + proj_site["b"]
+    else:
+        qkv_h = qkv_i8.reshape(B, N, 3, n_heads, h_dim).transpose(2, 0, 3, 1, 4)
+        q8, k8, v8 = qkv_h[0], qkv_h[1], qkv_h[2]
+        a32 = jax.lax.dot_general(
+            q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
+            preferred_element_type=I32)
+        a_int = jnp.clip(
+            jnp.round(a32.astype(jnp.float32)
+                      * (s1 * s1 * spec.attn_scale / s_a)),
+            bt_a.lower_bound, bt_a.upper_bound)
+        if cfg.lis:
+            # LIS codes (2^-q) are exact in bf16 -> bf16 MXU matmul
+            attn = log_int_softmax_from_int(a_int, s_a, bt_s).astype(jnp.bfloat16)
+            v_op = v8.astype(jnp.bfloat16)
+        else:
+            # float softmax probs are not bf16-exact; stay in f32
+            attn = jax.nn.softmax(a_int * s_a, axis=-1)
+            v_op = v8.astype(jnp.float32)
+        o = jax.lax.dot_general(
+            attn, v_op, (((3,), (2,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32)
+        o = o.transpose(0, 2, 1, 3).reshape(B, N, spec.embed_dim) * s1
+        if proj_site["fp"]:
+            y = _fq_site(ib["attn.qact2"], o, bt_a)
+            y = y @ proj_site["w"].T + proj_site["b"]
+        else:
+            o_i8 = _requant_i8(o, s2)
+            y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
+                * proj_site["mult"] + proj_site["b"]
+    # ---- mlp (+ the qact3/residual/qact2/LN2 fence chain) ----
+    if codes_path:
+        # int8-codes fences: the f32 residual stream never round-trips
+        # HBM — each fence reads/writes codes (4x less traffic), the
+        # LN consumes them directly, and the MLP kernel emits codes.
+        from ..ops.pallas.mlp import fused_int_mlp
+
+        s3 = ib["attn.qact3"]["scale"]
+        s_blk2 = ib["qact2"]["scale"]
+        yq3 = jnp.clip(jnp.round(y / s3), bt_a.lower_bound,
+                       bt_a.upper_bound)                 # attn.qact3
+        hs = hc.astype(jnp.float32) * in_scale + yq3 * s3  # residual
+        hc = jnp.clip(jnp.round(hs / s_blk2), bt_a.lower_bound,
+                      bt_a.upper_bound).astype(I8)       # qact2
+        x_i8 = _ln_int8(None, ib["norm2"], s_blk2,
+                        fc1_site.get("ln_out_scale",
+                                     fc1_site["in_scale"]), eps,
+                        rescale=fc1_site.get("ln_rescale"), x_codes=hc)
+        rows = B * N
+        block = 512
+        rpad = _round_up(rows, block)
+        x_flat = jnp.pad(x_i8.reshape(rows, -1),
+                         ((0, rpad - rows), (0, 0)))
+        y2c = fused_int_mlp(
+            x_flat, fc1_site["w_int"], fc2_site["w_int"],
+            fc1_site["mult"], fc1_site["b"], fc2_site["mult"],
+            fc2_site["b"], ib["mlp.qact2"]["scale"],
+            ib["mlp.qact1"]["scale"], block_rows=block,
+            emit_codes=True, interpret=pallas_interpret)
+        y2c = y2c[:rows].reshape(B, N, -1)
+        s_m2 = ib["mlp.qact2"]["scale"]
+        s4 = ib["qact4"]["scale"]
+        hs = hc.astype(jnp.float32) * s_blk2 \
+            + y2c.astype(jnp.float32) * s_m2             # residual
+        hc = jnp.clip(jnp.round(hs / s4), bt_a.lower_bound,
+                      bt_a.upper_bound).astype(I8)       # qact4
+        return h, hc
+    if mlp_fused:
+        # (A whole-half-block variant that also folds the qact3 /
+        # residual / qact2 / integer-LN2 fences into this kernel exists
+        # — fused_int_mlp_block — but measured ~1.7 ms/step SLOWER at
+        # DeiT-S b192: the f32 y/h input blocks are 8x the int8 code
+        # DMA and XLA's fusion of the fence chains beats Mosaic's
+        # elementwise lowering of the same math.  Kept as a tested
+        # alternative; the default path keeps fences in XLA.)
+        from ..ops.pallas.mlp import fused_int_mlp
+
+        y = _fq_site(ib["attn.qact3"], y, bt_a)
+        h = _fq_site(ib["qact2"], h + y, bt_a)
+        x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
+                        fc1_site.get("ln_out_scale",
+                                     fc1_site["in_scale"]), eps,
+                        rescale=fc1_site.get("ln_rescale"))
+        rows = B * N
+        block = 512
+        rpad = _round_up(rows, block)
+        x_flat = jnp.pad(x_i8.reshape(rows, -1),
+                         ((0, rpad - rows), (0, 0)))
+        y = fused_int_mlp(
+            x_flat, fc1_site["w_int"], fc2_site["w_int"],
+            fc1_site["mult"], fc1_site["b"], fc2_site["mult"],
+            fc2_site["b"], ib["mlp.qact2"]["scale"],
+            ib["mlp.qact1"]["scale"], block_rows=block,
+            interpret=pallas_interpret)
+        y = y[:rows].reshape(B, N, -1)
+        h = _fq_site(ib["qact4"], h + y, bt_a)
+    else:
+        y = _fq_site(ib["attn.qact3"], y, bt_a)
+        h = _fq_site(ib["qact2"], h + y, bt_a)
+        if fc1_site["fp"]:
+            y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
+            y = y @ fc1_site["w"].T + fc1_site["b"]
+        else:
+            if cfg.int_norm and b_fc2 != -1:
+                x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
+                                fc1_site.get("ln_out_scale",
+                                             fc1_site["in_scale"]), eps,
+                                rescale=fc1_site.get("ln_rescale"))
+            else:
+                y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
+                x_i8 = _requant_i8(y, fc1_site["in_scale"])
+            y = _int_dot(x_i8, fc1_site["w_int"]).astype(jnp.float32) \
+                * fc1_site["mult"] + fc1_site["b"]
+        y = jax.nn.gelu(y, approximate=False)
+        if fc2_site["fp"]:
+            y = _fq_site(ib["mlp.qact1"], y, bt_a)
+            y = y @ fc2_site["w"].T + fc2_site["b"]
+        else:
+            y_i8 = _requant_i8(y, ib["mlp.qact1"]["scale"])
+            y = _int_dot(y_i8, fc2_site["w_int"]).astype(jnp.float32) \
+                * fc2_site["mult"] + fc2_site["b"]
+        y = _fq_site(ib["mlp.qact2"], y, bt_a)
+        h = _fq_site(ib["qact4"], h + y, bt_a)
+    return h, hc
+
+
 def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
                   use_pallas: bool | None = None, pallas_interpret=False):
     """Integer forward pass over a prepared int-model pytree.
@@ -310,10 +555,6 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     scripts/perf_breakdown.py measures both.)"""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
-    bt_a = cfg.bit_a
-    eps = spec.ln_eps
-    B = x.shape[0]
-    h_dim, n_heads = spec.head_dim, spec.num_heads
 
     h = _embed_front(ip, spec, cfg, x)
 
@@ -321,237 +562,14 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     sym_acts = ip.get("sym_acts", False)
     sym_acts = bool(sym_acts) \
         if not isinstance(sym_acts, jax.core.Tracer) else False
-    # hc: the residual stream as int8 CODES on the current qact grid
-    # (value = hc * grid scale).  Between two fully-fused blocks the f32
-    # stream never materializes — the fences read/write 4x less HBM, the
-    # integer LNs consume the codes directly, and the MLP kernel emits
-    # codes (emit_codes).  Value-identical to the f32 path: fake-quant
-    # output IS codes*scale (zp==0 guaranteed by sym_acts).
     hc = None
     for i, ib in enumerate(ip["blocks"]):
-        b_qkv, b_proj, b_fc1, b_fc2 = bc[4 * i + 1: 4 * i + 5]
         in_scale = ip["qact1"]["scale"] if i == 0 \
             else ip["blocks"][i - 1]["qact4"]["scale"]
-
-        # ---- attention ----
-        qkv_site = ib["qkv"]
-        proj_site = ib["proj"]
-        fc1_site = ib["fc1"]
-        fc2_site = ib["fc2"]
-        s1 = ib["attn.qact1"]["scale"]
-        s_a = ib["attn.qact_attn1"]["scale"]
-        s2 = ib["attn.qact2"]["scale"]
-        bt_s = cfg.bit_s
-        N = h.shape[1]
-        x_i8 = None
-        y = None
-        fused2_path = (use_pallas and not qkv_site["fp"]
-                       and not proj_site["fp"] and cfg.int_norm
-                       and cfg.smoothquant)
-        mlp_fused = (use_pallas and cfg.int_norm and not fc1_site["fp"]
-                     and not fc2_site["fp"] and b_fc2 != -1)
-        codes_path = fused2_path and mlp_fused and sym_acts
-        if codes_path and hc is None:
-            # enter codes mode: h is a fake-quant output on the in_scale
-            # grid, so round(h/in_scale) recovers its codes exactly
-            hc = jnp.clip(jnp.round(h / in_scale), bt_a.lower_bound,
-                          bt_a.upper_bound).astype(I8)
-        elif not codes_path and hc is not None:
-            # leave codes mode (fp site / -1 layer in this block)
-            h = hc.astype(jnp.float32) * in_scale
-            hc = None
-        if qkv_site["fp"]:
-            y = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
-            y = y @ qkv_site["w"].T + qkv_site["b"]
-        else:
-            if codes_path:
-                x_i8 = _ln_int8(None, ib["norm1"], in_scale,
-                                qkv_site["in_scale"], eps, x_codes=hc)
-            elif cfg.int_norm and b_proj != -1:
-                x_i8 = _ln_int8(h, ib["norm1"], in_scale, qkv_site["in_scale"], eps)
-            else:
-                yf = float_layernorm(h, ib["norm1"]["w"], ib["norm1"]["b"], eps)
-                x_i8 = _requant_i8(yf, qkv_site["in_scale"])
-            if not fused2_path:
-                y = _int_dot(x_i8, qkv_site["w_int"]).astype(jnp.float32) \
-                    * qkv_site["mult"] + qkv_site["b"]
-
-        if not fused2_path:
-            qkv_i8 = _requant_i8(y, s1)
-        if fused2_path:
-            from ..ops.pallas.attention import fused_qkv_attention_v2
-
-            # rows only need sublane (8) alignment; 200 instead of 256 cuts
-            # ~22% of the LIS VPU work for the 197-token sequence.
-            # (fused_attention_block, which additionally folds proj +
-            # residual + fences into the kernel, measured 17% SLOWER here:
-            # the f32 residual blocks double per-program DMA and the K=64
-            # per-head proj slices starve the MXU — kept as an alternative.
-            # v2 runs the qkv projection as one full-width matmul instead
-            # of per-head (Cin, 64) slices — 64 output lanes fill half the
-            # 128-wide MXU — measured 15.1 -> 13.4 ms/step at b192.)
-            npad = _round_up(N, 8)
-            x_p = jnp.pad(x_i8, ((0, 0), (0, npad - N), (0, 0)))
-            scalars2 = jnp.stack([
-                s_a, s1 * s1 * spec.attn_scale / s_a, 1.0 / s1, s1 / s2,
-            ]).astype(jnp.float32)
-            # static fast-LIS gate: drop the provably-no-op floor/max on
-            # exp_int when the (concrete, trace-time) softmax scale is in
-            # the validity window — see pallas _lis_body docstring
-            lis_fast = False
-            if not isinstance(s_a, jax.core.Tracer):
-                sv = float(jax.device_get(s_a))
-                lis_fast = 2.0**-10 <= sv <= 0.6931
-            o_i8 = fused_qkv_attention_v2(
-                x_p, qkv_site["w_int"], qkv_site["mult"], qkv_site["b"],
-                scalars2, num_heads=n_heads, head_dim=h_dim,
-                n_real=N, bits=bt_s.bits, lis=cfg.lis, lis_fast=lis_fast,
-                interpret=pallas_interpret)
-            o_i8 = o_i8[:, :, :N]  # (B, H, N, D)
-            # proj consumes the head layout via a joint (H, D) contraction
-            w_hdc = proj_site["w_int"].reshape(n_heads, h_dim, -1)
-            y = jax.lax.dot_general(
-                o_i8, w_hdc, (((1, 3), (0, 1)), ((), ())),
-                preferred_element_type=I32).astype(jnp.float32) \
-                * proj_site["mult"] + proj_site["b"]
-        elif use_pallas and not proj_site["fp"]:
-            from ..ops.pallas.attention import fused_int_attention
-
-            npad = _round_up(N, 128)
-            qkv_p = jnp.pad(qkv_i8, ((0, 0), (0, npad - N), (0, 0)))
-            qkv_p = qkv_p.reshape(B, npad, 3, n_heads, h_dim) \
-                .transpose(0, 2, 3, 1, 4)  # (B, 3, H, N, D)
-            scalars = jnp.stack([s1 * s1 * spec.attn_scale / s_a,
-                                 s1 / s2, s_a]).astype(jnp.float32)
-            o_i8 = fused_int_attention(
-                qkv_p, scalars, num_heads=n_heads, n_real=N,
-                bits=bt_s.bits, lis=cfg.lis, interpret=pallas_interpret)
-            o_i8 = o_i8.transpose(0, 2, 1, 3)[:, :N] \
-                .reshape(B, N, spec.embed_dim)
-            y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
-                * proj_site["mult"] + proj_site["b"]
-        else:
-            qkv_h = qkv_i8.reshape(B, N, 3, n_heads, h_dim).transpose(2, 0, 3, 1, 4)
-            q8, k8, v8 = qkv_h[0], qkv_h[1], qkv_h[2]
-            a32 = jax.lax.dot_general(
-                q8, k8, (((3,), (3,)), ((0, 1), (0, 1))),
-                preferred_element_type=I32)
-            a_int = jnp.clip(
-                jnp.round(a32.astype(jnp.float32)
-                          * (s1 * s1 * spec.attn_scale / s_a)),
-                bt_a.lower_bound, bt_a.upper_bound)
-            if cfg.lis:
-                # LIS codes (2^-q) are exact in bf16 -> bf16 MXU matmul
-                attn = log_int_softmax_from_int(a_int, s_a, bt_s).astype(jnp.bfloat16)
-                v_op = v8.astype(jnp.bfloat16)
-            else:
-                # float softmax probs are not bf16-exact; stay in f32
-                attn = jax.nn.softmax(a_int * s_a, axis=-1)
-                v_op = v8.astype(jnp.float32)
-            o = jax.lax.dot_general(
-                attn, v_op, (((3,), (2,)), ((0, 1), (0, 1))),
-                preferred_element_type=jnp.float32)
-            o = o.transpose(0, 2, 1, 3).reshape(B, N, spec.embed_dim) * s1
-            if proj_site["fp"]:
-                y = _fq_site(ib["attn.qact2"], o, bt_a)
-                y = y @ proj_site["w"].T + proj_site["b"]
-            else:
-                o_i8 = _requant_i8(o, s2)
-                y = _int_dot(o_i8, proj_site["w_int"]).astype(jnp.float32) \
-                    * proj_site["mult"] + proj_site["b"]
-        # ---- mlp (+ the qact3/residual/qact2/LN2 fence chain) ----
-        if codes_path:
-            # int8-codes fences: the f32 residual stream never round-trips
-            # HBM — each fence reads/writes codes (4x less traffic), the
-            # LN consumes them directly, and the MLP kernel emits codes.
-            from ..ops.pallas.mlp import fused_int_mlp
-
-            s3 = ib["attn.qact3"]["scale"]
-            s_blk2 = ib["qact2"]["scale"]
-            yq3 = jnp.clip(jnp.round(y / s3), bt_a.lower_bound,
-                           bt_a.upper_bound)                 # attn.qact3
-            hs = hc.astype(jnp.float32) * in_scale + yq3 * s3  # residual
-            hc = jnp.clip(jnp.round(hs / s_blk2), bt_a.lower_bound,
-                          bt_a.upper_bound).astype(I8)       # qact2
-            x_i8 = _ln_int8(None, ib["norm2"], s_blk2,
-                            fc1_site.get("ln_out_scale",
-                                         fc1_site["in_scale"]), eps,
-                            rescale=fc1_site.get("ln_rescale"), x_codes=hc)
-            rows = B * N
-            block = 512
-            rpad = _round_up(rows, block)
-            x_flat = jnp.pad(x_i8.reshape(rows, -1),
-                             ((0, rpad - rows), (0, 0)))
-            y2c = fused_int_mlp(
-                x_flat, fc1_site["w_int"], fc2_site["w_int"],
-                fc1_site["mult"], fc1_site["b"], fc2_site["mult"],
-                fc2_site["b"], ib["mlp.qact2"]["scale"],
-                ib["mlp.qact1"]["scale"], block_rows=block,
-                emit_codes=True, interpret=pallas_interpret)
-            y2c = y2c[:rows].reshape(B, N, -1)
-            s_m2 = ib["mlp.qact2"]["scale"]
-            s4 = ib["qact4"]["scale"]
-            hs = hc.astype(jnp.float32) * s_blk2 \
-                + y2c.astype(jnp.float32) * s_m2             # residual
-            hc = jnp.clip(jnp.round(hs / s4), bt_a.lower_bound,
-                          bt_a.upper_bound).astype(I8)       # qact4
-            continue
-        if mlp_fused:
-            # (A whole-half-block variant that also folds the qact3 /
-            # residual / qact2 / integer-LN2 fences into this kernel exists
-            # — fused_int_mlp_block — but measured ~1.7 ms/step SLOWER at
-            # DeiT-S b192: the f32 y/h input blocks are 8x the int8 code
-            # DMA and XLA's fusion of the fence chains beats Mosaic's
-            # elementwise lowering of the same math.  Kept as a tested
-            # alternative; the default path keeps fences in XLA.)
-            from ..ops.pallas.mlp import fused_int_mlp
-
-            y = _fq_site(ib["attn.qact3"], y, bt_a)
-            h = _fq_site(ib["qact2"], h + y, bt_a)
-            x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
-                            fc1_site.get("ln_out_scale",
-                                         fc1_site["in_scale"]), eps,
-                            rescale=fc1_site.get("ln_rescale"))
-            rows = B * N
-            block = 512
-            rpad = _round_up(rows, block)
-            x_flat = jnp.pad(x_i8.reshape(rows, -1),
-                             ((0, rpad - rows), (0, 0)))
-            y = fused_int_mlp(
-                x_flat, fc1_site["w_int"], fc2_site["w_int"],
-                fc1_site["mult"], fc1_site["b"], fc2_site["mult"],
-                fc2_site["b"], ib["mlp.qact2"]["scale"],
-                ib["mlp.qact1"]["scale"], block_rows=block,
-                interpret=pallas_interpret)
-            y = y[:rows].reshape(B, N, -1)
-            h = _fq_site(ib["qact4"], h + y, bt_a)
-        else:
-            y = _fq_site(ib["attn.qact3"], y, bt_a)
-            h = _fq_site(ib["qact2"], h + y, bt_a)
-            if fc1_site["fp"]:
-                y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
-                y = y @ fc1_site["w"].T + fc1_site["b"]
-            else:
-                if cfg.int_norm and b_fc2 != -1:
-                    x_i8 = _ln_int8(h, ib["norm2"], ib["qact2"]["scale"],
-                                    fc1_site.get("ln_out_scale",
-                                                 fc1_site["in_scale"]), eps,
-                                    rescale=fc1_site.get("ln_rescale"))
-                else:
-                    y = float_layernorm(h, ib["norm2"]["w"], ib["norm2"]["b"], eps)
-                    x_i8 = _requant_i8(y, fc1_site["in_scale"])
-                y = _int_dot(x_i8, fc1_site["w_int"]).astype(jnp.float32) \
-                    * fc1_site["mult"] + fc1_site["b"]
-            y = jax.nn.gelu(y, approximate=False)
-            if fc2_site["fp"]:
-                y = _fq_site(ib["mlp.qact1"], y, bt_a)
-                y = y @ fc2_site["w"].T + fc2_site["b"]
-            else:
-                y_i8 = _requant_i8(y, ib["mlp.qact1"]["scale"])
-                y = _int_dot(y_i8, fc2_site["w_int"]).astype(jnp.float32) \
-                    * fc2_site["mult"] + fc2_site["b"]
-            y = _fq_site(ib["mlp.qact2"], y, bt_a)
-            h = _fq_site(ib["qact4"], h + y, bt_a)
+        h, hc = _block_int(ib, bc[4 * i + 1: 4 * i + 5], in_scale, h, hc,
+                           spec, cfg, use_pallas=use_pallas,
+                           pallas_interpret=pallas_interpret,
+                           sym_acts=sym_acts)
 
     return _head_tail(ip, spec, cfg, h, hc)
 

@@ -30,28 +30,36 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: int | None = None, dp: int | None = None,
               tp: int | None = None, sp: int | None = None,
-              devices=None) -> Mesh:
-    """Create a (dp, tp[, sp]) mesh.  Defaults: use every device, all-dp.
-    The sp axis is only materialized when sp > 1 (2-axis meshes stay the
-    common case and every P() spec that doesn't name "sp" is unaffected)."""
+              pp: int | None = None, devices=None) -> Mesh:
+    """Create a (dp, tp[, sp][, pp]) mesh.  Defaults: use every device,
+    all-dp.  The sp/pp axes are only materialized when > 1 (2-axis meshes
+    stay the common case and every P() spec that doesn't name them is
+    unaffected).  pp is last so neighboring pipeline stages land on
+    adjacent devices (stage-to-stage ppermute rides one ICI hop)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
         devices = devices[:n_devices]
     n = len(devices)
     sp_ = 1 if sp is None else sp
+    pp_ = 1 if pp is None else pp
     if dp is None and tp is None:
-        dp, tp = n // sp_, 1
+        dp, tp = n // (sp_ * pp_), 1
     elif dp is None:
-        dp = n // (tp * sp_)
+        dp = n // (tp * sp_ * pp_)
     elif tp is None:
-        tp = n // (dp * sp_)
-    assert dp * tp * sp_ == n, f"mesh {dp}x{tp}x{sp_} != {n} devices"
+        tp = n // (dp * sp_ * pp_)
+    assert dp * tp * sp_ * pp_ == n, \
+        f"mesh {dp}x{tp}x{sp_}x{pp_} != {n} devices"
+    names, dims = ["dp", "tp"], [dp, tp]
     if sp_ > 1:
-        dev = np.asarray(devices).reshape(dp, tp, sp_)
-        return Mesh(dev, axis_names=("dp", "tp", "sp"))
-    dev = np.asarray(devices).reshape(dp, tp)
-    return Mesh(dev, axis_names=("dp", "tp"))
+        names.append("sp")
+        dims.append(sp_)
+    if pp_ > 1:
+        names.append("pp")
+        dims.append(pp_)
+    dev = np.asarray(devices).reshape(dims)
+    return Mesh(dev, axis_names=tuple(names))
 
 
 def _param_pspec(path: str, arr) -> P:

@@ -57,6 +57,11 @@ def build_parser():
                    help="sequence-parallel mesh size: token-shard the "
                         "residual stream between blocks (ViT/DeiT "
                         "fake-quant path; parallel/mesh.act_constraint)")
+    p.add_argument("--pp", default=1, type=int,
+                   help="pipeline-parallel mesh size: GPipe microbatch "
+                        "schedule over depth stages, int8-codes "
+                        "stage-to-stage wire (ViT/DeiT integer path — "
+                        "requires --int-path; parallel/pipeline.py)")
     p.add_argument("--host-devices", default=0, type=int,
                    help="create N virtual CPU devices for mesh testing "
                         "without N chips (the env-var forms of this knob "
@@ -185,16 +190,21 @@ def main(argv=None):
     print(f"Model: {args.model}")
     mesh = None
     n_dev = len(jax.devices())
-    if args.dp is not None or args.tp != 1 or args.sp != 1 or n_dev > 1:
+    if args.pp > 1 and not (args.int_path or args.load_int):
+        raise SystemExit("--pp pipelines the integer path; add --int-path "
+                         "(or serve one with --load-int)")
+    if args.dp is not None or args.tp != 1 or args.sp != 1 or args.pp != 1 \
+            or n_dev > 1:
         from diffvit_tpu.parallel.mesh import make_mesh
 
         dp = args.dp if args.dp is not None else max(
-            1, n_dev // (args.tp * args.sp))
-        if dp * args.tp * args.sp > 1:
-            mesh = make_mesh(dp * args.tp * args.sp, dp=dp, tp=args.tp,
-                             sp=args.sp)
+            1, n_dev // (args.tp * args.sp * args.pp))
+        if dp * args.tp * args.sp * args.pp > 1:
+            mesh = make_mesh(dp * args.tp * args.sp * args.pp, dp=dp,
+                             tp=args.tp, sp=args.sp, pp=args.pp)
             print(f"mesh: dp={dp} tp={args.tp}"
-                  + (f" sp={args.sp}" if args.sp > 1 else ""))
+                  + (f" sp={args.sp}" if args.sp > 1 else "")
+                  + (f" pp={args.pp}" if args.pp > 1 else ""))
     pp = preprocessing_for(args.model)
     if args.save_int and not args.quant:
         raise SystemExit("--save-int bakes a calibrated integer model; "
