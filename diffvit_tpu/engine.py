@@ -312,12 +312,15 @@ class QuantizedViT:
 
     def __call__(self, x, bit_config=None, quant=True, use_int=False):
         x = jnp.asarray(x)
+        pad = 0
         if self.mesh is not None:
+            x, pad = _dp_pad(x, self.mesh)
             x = jax.device_put(x, mesh_mod.batch_sharding(self.mesh))
         if quant and self.qparams is None:
             raise RuntimeError("model not calibrated; call .calibrate() first")
         if use_int and quant:
-            return self.prepare_int(bit_config)(x)
+            out = self.prepare_int(bit_config)(x)
+            return out[:out.shape[0] - pad] if pad else out
         if self.is_swin:
             if quant and bit_config is None:
                 bit_config = self.cfg.bit_w.bits
@@ -334,7 +337,8 @@ class QuantizedViT:
             if bit_config is not None:
                 bit_config = tuple(int(b) for b in bit_config)
         fn = self._forward_fn(quant, bit_config)
-        return fn(self.params, self.qparams, x)
+        out = fn(self.params, self.qparams, x)
+        return out[:out.shape[0] - pad] if pad else out
 
     # -- batched mixed-precision evaluation --------------------------------
     def forward_bits(self, x, bits_batch):
@@ -377,6 +381,19 @@ class QuantizedViT:
     @property
     def flops(self):
         return self._mod.flops_list(self.spec)
+
+
+def _dp_pad(x, mesh):
+    """Zero-pad the batch axis up to the dp-divisible size NamedSharding
+    requires (a ragged last validation batch would otherwise fail
+    device_put); callers slice the pad rows' logits away.  Each distinct
+    padded shape compiles once — padding to the dp multiple *reduces*
+    shape diversity across ragged tails."""
+    dp = mesh.shape["dp"]
+    pad = (-x.shape[0]) % dp
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, pad
 
 
 def _pp_int_forward(ip, spec, cfg, mesh, prep):
@@ -459,9 +476,12 @@ class IntModel:
         # (bit_config is baked into the artifact; the extra kwargs make
         # IntModel a drop-in for validate()'s model argument)
         x = jnp.asarray(x)
+        pad = 0
         if self.mesh is not None:
+            x, pad = _dp_pad(x, self.mesh)
             x = jax.device_put(x, mesh_mod.batch_sharding(self.mesh))
-        return self._fwd(x)
+        out = self._fwd(x)
+        return out[:out.shape[0] - pad] if pad else out
 
 
 def load_int_model(path, mesh=None,

@@ -81,6 +81,34 @@ def test_engine_sharded_eval_matches_single(eight_devices):
     np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
 
+def test_ragged_batch_under_dp_mesh(eight_devices):
+    """A batch NOT divisible by dp (every real dataset's last validation
+    batch) must not crash the mesh paths: engine._dp_pad zero-pads to the
+    dp granularity and __call__ slices the pad logits away.  Both the
+    fake-quant and integer forwards must equal the single-device logits
+    row-for-row."""
+    params = vit.init_params(TINY, jax.random.PRNGKey(0))
+    x = np.random.default_rng(0).standard_normal((5, 3, 224, 224)) \
+        .astype("float32")
+    calib = np.random.default_rng(1).standard_normal((2, 3, 224, 224)) \
+        .astype("float32")
+
+    single = QuantizedViT(TINY, QuantConfig(), params=params)
+    single.calibrate(calib)
+    ref = np.asarray(single(x))
+    ref_int = np.asarray(single(x, use_int=True))
+
+    m = mesh_mod.make_mesh(8, tp=2)  # dp=4; 5 % 4 != 0
+    sharded = QuantizedViT(TINY, QuantConfig(), params=params, mesh=m)
+    sharded.qparams = single.qparams
+    got = np.asarray(sharded(x))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+    got_int = np.asarray(sharded(x, use_int=True))
+    assert got_int.shape == ref_int.shape
+    np.testing.assert_allclose(got_int, ref_int, rtol=2e-4, atol=2e-4)
+
+
 def test_int_path_sharded_matches_single(eight_devices):
     """use_int under a (dp,tp) mesh equals the single-device int path."""
     from diffvit_tpu import engine
