@@ -171,11 +171,15 @@ def forward_q_int_pp(ip, plan, spec: ViTSpec, cfg: QuantConfig, x, mesh, *,
 
         def tick(carry, t):
             state, outs = carry
-            # stage 0 injects microbatch t (bubble ticks reuse stale data;
-            # their outputs are never recorded)
+            # stage 0 injects microbatch t; ppermute delivers zeros to it
+            # (no inbound edge), so during drain ticks (t >= M) it re-runs
+            # the clamped last microbatch instead — real data, never the
+            # zeros row that would hit integer-LN's 1/std singularity
+            # (NaN garbage is discarded either way, but it would trip
+            # jax_debug_nans).  Drain outputs are never recorded.
             inject = jax.lax.dynamic_index_in_dim(
                 wire, jnp.minimum(t, M - 1), 0, keepdims=False)
-            state = jnp.where((s == 0) & (t < M), inject, state)
+            state = jnp.where(s == 0, inject, state)
             out = run_stage(state)
             # shift the residual stream one stage downstream (one ICI hop)
             nxt = jax.lax.ppermute(out, "pp",

@@ -118,3 +118,16 @@ def test_pp_rejects_fp_sites(setup):
         pipeline.prepare_pp(ip_fp, TINY, cfg, pp=2, use_pallas=False)
     with pytest.raises(ValueError, match="divisible"):
         pipeline.prepare_pp(ip, TINY, cfg, pp=3, use_pallas=False)
+
+
+def test_pp_rejects_tp_mesh(setup):
+    """tp/sp operands would be silently all-gathered inside the pipeline
+    shard_map (redundant compute, no error) — the engine must refuse."""
+    from diffvit_tpu.engine import QuantizedViT
+
+    params, qp, cfg, x, _ = setup
+    m = mesh_mod.make_mesh(8, dp=2, tp=2, pp=2)
+    model = QuantizedViT(TINY, cfg, params=params, mesh=m)
+    model.qparams = qp
+    with pytest.raises(ValueError, match="dp only"):
+        model(x[:4], use_int=True)
