@@ -152,6 +152,68 @@ def test_e2e_logits_parity(model_name, method, ptf, lis, bits):
         assert float(np.mean(np.abs(got - ref_logits))) < 0.15 * spread
 
 
+def test_input_quant_false_parity():
+    """vit_large's input_quant=False quirk (vit_fquant.py:910-925): no
+    input QAct — the patch conv consumes unquantized f32 pixels with a
+    fake-quantized weight.  The reference constructor takes arbitrary
+    geometry, so this pins the quirk at tiny geometry in the bit-exact
+    tier (minmax, ptf/lis off, like the deit_tiny cell)."""
+    from functools import partial
+
+    import jax.numpy as jnp
+    from config import Config
+    from models import vit_fquant as ref_vit
+
+    from diffvit_tpu.config import QuantConfig
+    from diffvit_tpu.models import vit
+    from diffvit_tpu.models.load import convert_vit_torch_state_dict
+
+    torch.manual_seed(0)
+    np.random.seed(0)
+    cfg_ref = Config(ptf=False, lis=False, quant_method="minmax")
+    model = ref_vit.VisionTransformer(
+        patch_size=16, embed_dim=64, depth=2, num_heads=2, mlp_ratio=4,
+        qkv_bias=True,
+        norm_layer=partial(ref_vit.QIntLayerNorm, eps=1e-6),
+        input_quant=False, cfg=cfg_ref)
+    model.eval()
+    assert not hasattr(model, "qact_input")
+    calib = torch.randn(2, 3, 224, 224)
+    model.model_open_calibrate()
+    with torch.no_grad():
+        model.model_open_last_calibrate()
+        model(calib, plot=False)
+    model.model_close_calibrate()
+    model.model_quant()
+
+    spec = vit.ViTSpec("niq_parity", embed_dim=64, depth=2, num_heads=2,
+                       input_quant=False)
+    params = convert_vit_torch_state_dict(model.state_dict(), spec)
+    cfg = QuantConfig(ptf=False, lis=False, quant_method="minmax")
+    qp, _ = vit.calibrate(params, spec, cfg, jnp.asarray(calib.numpy()))
+    assert "qact_input.scale" not in qp
+
+    for ref_scale, key in [
+            (model.patch_embed.qact.quantizer.scale, "patch.qact.scale"),
+            (model.qact1.quantizer.scale, "qact1.scale"),
+            (model.blocks[1].qact4.quantizer.scale, "blocks.1.qact4.scale"),
+            (model.act_out.quantizer.scale, "act_out.scale")]:
+        np.testing.assert_allclose(np.asarray(qp[key]).reshape(-1),
+                                   ref_scale.detach().cpu().numpy()
+                                   .reshape(-1), rtol=1e-5, err_msg=key)
+
+    nslots = vit.num_bit_slots(spec)
+    with torch.no_grad():
+        ref_logits = model(calib, [8] * nslots, False)[0].numpy()
+    got = np.asarray(vit.forward_q(params, qp, spec, cfg,
+                                   jnp.asarray(calib.numpy()),
+                                   (8,) * nslots))
+    np.testing.assert_array_equal(got.argmax(1), ref_logits.argmax(1))
+    agree = float(np.mean(got == ref_logits))
+    print(f"\nPARITY input_quant=False/int8: exact={agree:.3f}")
+    np.testing.assert_allclose(got, ref_logits, atol=0.5)
+
+
 def test_omse_reference_activation_path_is_broken():
     """The reference CANNOT run quant_method='omse' end-to-end: its uniform
     quantizer calls observer.get_quantization_params(x, attn=..., ...) but
