@@ -405,15 +405,16 @@ def _pp_int_forward(ip, spec, cfg, mesh, prep):
     each trace once, like every other cached forward)."""
     from .parallel import pipeline
 
-    if mesh.shape.get("tp", 1) > 1 or mesh.shape.get("sp", 1) > 1:
-        # the pipeline shard_map names only dp/pp; tp/sp sharded operands
-        # would be silently all-gathered and every replica would compute
-        # the full pipeline redundantly — refuse instead
-        raise ValueError("pp composes with dp only (use pp as the "
-                         "model-partition axis instead of tp/sp)")
+    if mesh.shape.get("sp", 1) > 1:
+        # sp token-shards the fake-quant residual stream; the integer
+        # pipeline never consumes it — an sp axis here would only
+        # replicate work silently
+        raise ValueError("pp composes with dp/tp, not sp (sp is a "
+                         "fake-quant-path axis)")
     pp = mesh.shape["pp"]
     dp = mesh.shape.get("dp", 1)
-    plan = pipeline.prepare_pp(ip, spec, cfg, pp)
+    plan = pipeline.plan_shardings(
+        mesh, pipeline.prepare_pp(ip, spec, cfg, pp))
     # the plan's stacked leaves carry the block weights; keep only the
     # non-block parts of ip for the embed front / head tail so device HBM
     # doesn't hold every block weight twice

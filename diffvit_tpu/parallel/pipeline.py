@@ -120,6 +120,40 @@ def prepare_pp(ip, spec: ViTSpec, cfg: QuantConfig, pp: int, *,
     }
 
 
+def plan_shardings(mesh, plan):
+    """NamedSharding pytree for the plan's stacked leaves: the leading
+    depth axis shards P("pp"); when the mesh also has a tp axis, the baked
+    weights keep the megatron layout of mesh.int_param_shardings on their
+    trailing dims ((L, Cin, Cout): qkv/fc1 shard Cout, proj/fc2 shard Cin).
+    Inside the stage body those dims are AUTO (partial-manual shard_map),
+    so GSPMD applies the same gather/partition decisions as the non-pp
+    integer path."""
+    from jax.sharding import NamedSharding
+
+    from .mesh import _path_str
+
+    tp = mesh.shape.get("tp", 1)
+
+    def spec(path, arr):
+        dims = [None] * arr.ndim
+        dims[0] = "pp"
+        ps = _path_str(path)
+        if tp > 1 and arr.ndim == 3:
+            if (ps.endswith("qkv.w_int") or ps.endswith("fc1.w_int")) \
+                    and arr.shape[2] % tp == 0:
+                dims[2] = "tp"
+            elif (ps.endswith("proj.w_int") or ps.endswith("fc2.w_int")) \
+                    and arr.shape[1] % tp == 0:
+                dims[1] = "tp"
+        return NamedSharding(mesh, P(*dims))
+
+    stacked = jax.tree_util.tree_map_with_path(spec, plan["stacked"])
+    return dict(plan, stacked=jax.tree.map(jax.device_put, plan["stacked"],
+                                           stacked),
+                in_scales=jax.device_put(
+                    plan["in_scales"], NamedSharding(mesh, P("pp"))))
+
+
 def forward_q_int_pp(ip, plan, spec: ViTSpec, cfg: QuantConfig, x, mesh, *,
                      n_micro: int | None = None, pallas_interpret=False):
     """Pipeline-parallel integer forward over a (…, pp) mesh.
@@ -149,9 +183,6 @@ def forward_q_int_pp(ip, plan, spec: ViTSpec, cfg: QuantConfig, x, mesh, *,
     else:
         wire = h
     wire = wire.reshape(M, B // M, N, C)
-
-    dp = "dp" if ("dp" in mesh.shape and mesh.shape["dp"] > 1) else None
-    wire_spec = P(None, dp, None, None)
 
     def stage_body(stacked, in_scales, wire):
         s = jax.lax.axis_index("pp")
@@ -198,10 +229,15 @@ def forward_q_int_pp(ip, plan, spec: ViTSpec, cfg: QuantConfig, x, mesh, *,
         (_, outs), _ = jax.lax.scan(tick, carry0, jnp.arange(T))
         return outs[None]  # (1, M, Bm, N, C): this stage's slot
 
+    # Partial-manual shard_map: only the pp axis is manual (the ppermute
+    # schedule); dp/tp stay AUTO, so GSPMD keeps batch sharding and the
+    # megatron weight layouts working *inside* the stage body — pp
+    # composes with dp and tp without re-deriving their collectives here.
     outs = jax.shard_map(
         stage_body, mesh=mesh,
-        in_specs=(P("pp"), P("pp"), wire_spec),
-        out_specs=P("pp", None, dp, None, None),
+        in_specs=(P("pp"), P("pp"), P()),
+        out_specs=P("pp", None, None, None, None),
+        axis_names={"pp"},
         check_vma=False,
     )(plan["stacked"], plan["in_scales"], wire)
     last = outs[-1].reshape(B, N, C)  # the last stage's recorded outputs

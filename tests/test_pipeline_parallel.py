@@ -120,14 +120,26 @@ def test_pp_rejects_fp_sites(setup):
         pipeline.prepare_pp(ip, TINY, cfg, pp=3, use_pallas=False)
 
 
-def test_pp_rejects_tp_mesh(setup):
-    """tp/sp operands would be silently all-gathered inside the pipeline
-    shard_map (redundant compute, no error) — the engine must refuse."""
+def test_pp_composes_with_tp(setup):
+    """dp=2 x tp=2 x pp=2 (partial-manual shard_map: pp manual, dp/tp
+    AUTO): the megatron-sharded stacked weights ride GSPMD inside the
+    stage body; logits bit-equal to the single-device integer path.
+    An sp axis stays rejected (fake-quant-path feature)."""
     from diffvit_tpu.engine import QuantizedViT
 
     params, qp, cfg, x, _ = setup
+    single = QuantizedViT(TINY, cfg, params=params)
+    single.qparams = qp
+    ref = np.asarray(single(x, use_int=True))
+
     m = mesh_mod.make_mesh(8, dp=2, tp=2, pp=2)
     model = QuantizedViT(TINY, cfg, params=params, mesh=m)
     model.qparams = qp
-    with pytest.raises(ValueError, match="dp only"):
-        model(x[:4], use_int=True)
+    got = np.asarray(model(x, use_int=True))
+    np.testing.assert_array_equal(got, ref)
+
+    msp = mesh_mod.make_mesh(8, dp=2, sp=2, pp=2)
+    model_sp = QuantizedViT(TINY, cfg, params=params, mesh=msp)
+    model_sp.qparams = qp
+    with pytest.raises(ValueError, match="sp"):
+        model_sp(x[:4], use_int=True)
