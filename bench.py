@@ -266,6 +266,10 @@ def run_matrix():
         model="deit_base", bits=8, path="int", batch=128)
     add("vit_large_int8_int_b32", bench_vit,
         model="vit_large", bits=8, path="int", batch=32)
+    add("deit_base_int4_int_b128", bench_vit,
+        model="deit_base", bits=4, path="int", batch=128)
+    add("vit_large_int4_int_b32", bench_vit,
+        model="vit_large", bits=4, path="int", batch=32)
     add("swin_tiny_int8_int_b128", bench_swin,
         model="swin_tiny", bits=8, batch=128)
     add("swin_small_int8_int_b96", bench_swin,

@@ -72,4 +72,5 @@ def qat_distill(params, qp, spec, cfg: QuantConfig, batches,
         losses.append(loss)  # keep on device: a float() here would pay
         # one dispatch round-trip PER STEP (~0.7 s through the axon
         # tunnel); the steps chain through params anyway
-    return params, [float(l) for l in losses]
+    # one stacked transfer instead of `steps` sequential scalar reads
+    return params, [float(l) for l in jax.device_get(jnp.stack(losses))]

@@ -384,12 +384,13 @@ def _block_int(ib, bits4, in_scale, h, hc, spec: ViTSpec, cfg: QuantConfig,
         # static fast-LIS gate: drop the provably-no-op floor/max on
         # exp_int when the (concrete, trace-time) softmax scale is in
         # the validity window — see pallas _lis_body docstring
+        from ..ops.pallas.attention import lis_fast_ok
+
         lis_fast = False
         if lis_fast_override is not None:
             lis_fast = bool(lis_fast_override)
         elif not isinstance(s_a, jax.core.Tracer):
-            sv = float(jax.device_get(s_a))
-            lis_fast = 2.0**-10 <= sv <= 0.6931
+            lis_fast = lis_fast_ok(float(jax.device_get(s_a)))
         o_i8 = fused_qkv_attention_v2(
             x_p, qkv_site["w_int"], qkv_site["mult"], qkv_site["b"],
             scalars2, num_heads=n_heads, head_dim=h_dim,

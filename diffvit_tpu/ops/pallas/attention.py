@@ -39,6 +39,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def lis_fast_ok(scale_value: float) -> bool:
+    """Concrete-scale validity window for ``_lis_body(fast=True)``'s
+    provably-no-op floor/max elision (see its docstring) — the ONE place
+    the bound lives; vit_int._block_int, pallas/serve.prepare_resident
+    and parallel/pipeline.prepare_pp all gate through it."""
+    return 2.0**-10 <= scale_value <= 0.6931
+
+
 def _lis_body(a_int, scale, bits, col_ok, fast=False):
     """Log-Int-Softmax on integer scores (f32 carrier), cols masked by
     ``col_ok``.  Returns bf16 attention weights.

@@ -53,7 +53,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .attention import _lis_body
+from .attention import _lis_body, lis_fast_ok
 from .mlp import _gelu_poly
 
 # vec slots (per layer, C-wide f32)
@@ -232,6 +232,10 @@ def prepare_resident(ip, spec, cfg):
     if not ip.get("sym_acts", False):
         raise ValueError("resident serving needs symmetric activations "
                          "(sym_acts) to carry the int8-codes stream")
+    if cfg.bit_a.bits != 8 or cfg.bit_a.signed is not True:
+        # every requant fence in _serve_kernel hardcodes clip(-128,127)
+        raise ValueError("resident serving assumes int8 activations "
+                         f"(cfg.bit_a is {cfg.bit_a.name})")
     c = spec.embed_dim
     hid = ip["blocks"][0]["fc1"]["w_int"].shape[1]
     h_, d_ = spec.num_heads, spec.head_dim
@@ -298,7 +302,7 @@ def prepare_resident(ip, spec, cfg):
             lis_fast = False
         else:
             sv = float(jax.device_get(jnp.asarray(s_a)))
-            lis_fast = lis_fast and (2.0**-10 <= sv <= 0.6931)
+            lis_fast = lis_fast and lis_fast_ok(sv)
 
     return {
         "wqkv": jnp.stack(wqkv), "wproj": jnp.stack(wproj),

@@ -99,12 +99,16 @@ def prepare_pp(ip, spec: ViTSpec, cfg: QuantConfig, pp: int, *,
     # Host-resolved fast-LIS gate: inside the stage body every scale is a
     # traced array slice, so _block_int's concrete-scale gate can't fire;
     # resolve it here (scales are concrete post-calibration) and require
-    # it to hold for EVERY block — stages share one SPMD program.
+    # it to hold for EVERY block — stages share one SPMD program.  The
+    # fused attention path runs whenever fused2 conditions hold (not only
+    # codes_mode — sym_acts isn't required for it), so gate on those.
+    from ..ops.pallas.attention import lis_fast_ok
+
     lis_fast = False
-    if codes_mode and cfg.lis:
+    if use_pallas and cfg.int_norm and cfg.smoothquant and cfg.lis:
         svs = [float(jax.device_get(ib["attn.qact_attn1"]["scale"]))
                for ib in blocks]
-        lis_fast = all(2.0**-10 <= sv <= 0.6931 for sv in svs)
+        lis_fast = all(lis_fast_ok(sv) for sv in svs)
     return {
         "stacked": stacked,        # leaves (L, ...) — shard P("pp")
         "in_scales": in_scales,    # (L,)
