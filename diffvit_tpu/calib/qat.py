@@ -27,14 +27,23 @@ from ..config import QuantConfig
 
 
 def qat_distill(params, qp, spec, cfg: QuantConfig, batches,
-                bit_config=None, *, steps=200, lr=1e-5, fp_params=None):
+                bit_config=None, *, steps=200, lr=1e-5, fp_params=None,
+                remat=False):
     """Distill ``forward_q(params)`` toward ``forward_fp(fp_params)`` by
     MSE on logits.  ``batches``: one array or a list (cycled over steps).
     Returns ``(new_params, losses)`` — losses is the per-step trajectory.
-    Works for ViT/DeiT and Swin (both quantized bodies are STE-threaded)."""
+    Works for ViT/DeiT and Swin (both quantized bodies are STE-threaded).
+
+    ``remat=True`` (ViT family) checkpoints each block in the STE forward
+    (jax.checkpoint, full recompute): backward saves only the block-boundary
+    residual stream, so the train step fits HBM on the deep/wide models
+    (vit_large b32: 11.3 GB -> 2.7 GB XLA temp, measured on-chip) at the
+    cost of one extra forward's FLOPs.  Bit-identical loss trajectory."""
     from ..models import swin, vit
 
     mod = swin if isinstance(spec, swin.SwinSpec) else vit
+    assert not (remat and mod is swin), \
+        "remat is wired for the ViT family body (Swin blocks are windowed)"
     if fp_params is None:
         fp_params = params
     if mod is swin:
@@ -52,7 +61,8 @@ def qat_distill(params, qp, spec, cfg: QuantConfig, batches,
     targets = [teacher(b) for b in batches]
 
     def loss_fn(p, x, target):
-        y = mod.forward_q(p, qp, spec, cfg, x, bit_config, ste=True)
+        kw = {"remat": True} if remat else {}
+        y = mod.forward_q(p, qp, spec, cfg, x, bit_config, ste=True, **kw)
         return jnp.mean((y - target) ** 2)
 
     opt = optax.adam(lr)

@@ -708,7 +708,8 @@ def _q_norm(qp, x, ln, in_path, out_scale, out_ch, cfg: QuantConfig,
 
 def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
               bit_config=None, taps=None, w_in_taps=None,
-              ste: bool = False, act_constraint=None):
+              ste: bool = False, act_constraint=None,
+              remat: bool = False):
     """Fully-quantized forward.  ``bit_config``: tuple of 4*depth+2 ints in
     {4, 8, -1} (None -> all cfg.bit_w.bits, matching test_quant.py:412's
     [4]*50 default).  Returns logits; FLOPs/global_distance companions are
@@ -728,7 +729,15 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     stream at every block boundary — the sequence-parallel hook
     (parallel/mesh.act_constraint places a with_sharding_constraint that
     token-shards over the mesh's sp axis; GSPMD inserts the attention
-    all-gathers).  Identity semantics: constraints never change values."""
+    all-gathers).  Identity semantics: constraints never change values.
+
+    ``remat=True`` wraps each block in ``jax.checkpoint`` (full recompute
+    policy): under differentiation only the block-boundary residual stream
+    is saved, so backward memory is O(depth · B·N·C) instead of every
+    intermediate — what makes distillation QAT / PGD / input-Hessian fit
+    HBM on the deep models (vit_large: 24 blocks).  Bit-identical primal
+    AND gradients (pure recompute of the same ops).  Incompatible with
+    taps/w_in_taps (their tensors would be remat-internal)."""
     if bit_config is None:
         bit_config = (cfg.bit_w.bits,) * num_bit_slots(spec)
     bit_config = tuple(int(v) for v in bit_config)
@@ -764,9 +773,12 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     h = h + _fq(qp, "qact_pos", params["pos_embed"], cfg.bit_a, ste)
     h = _fq(qp, "qact1", h, cfg.bit_a, ste)
 
-    for i, blk in enumerate(params["blocks"]):
-        if act_constraint is not None:
-            h = act_constraint(h)
+    if remat:
+        assert taps is None and w_in_taps is None, (
+            "remat=True cannot export taps: tapped tensors live inside the "
+            "checkpointed block and would be recomputed, not saved")
+
+    def _one_block(h, blk, i):
         p = f"blocks.{i}"
         b_qkv, b_proj, b_fc1, b_fc2 = bit_config[4 * i + 1: 4 * i + 5]
         in_path = "qact1" if i == 0 else f"blocks.{i-1}.qact4"
@@ -845,7 +857,16 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
                               b_fc2, ste).T + blk["fc2"]["b"]
         tap(f"{p}.mlp.fc2", y)
         y = _fq(qp, f"{p}.mlp.qact2", y, cfg.bit_a, ste)
-        h = _fq(qp, f"{p}.qact4", h + y, cfg.bit_a, ste)
+        return _fq(qp, f"{p}.qact4", h + y, cfg.bit_a, ste)
+
+    for i, blk in enumerate(params["blocks"]):
+        if act_constraint is not None:
+            h = act_constraint(h)
+        if remat:
+            h = jax.checkpoint(lambda h, blk, _i=i: _one_block(h, blk, _i))(
+                h, blk)
+        else:
+            h = _one_block(h, blk, i)
 
     h = _q_norm(qp, h, params["norm"], f"blocks.{spec.depth-1}.qact4",
                 qp["qact2.scale"], None, cfg, False, eps, ste)[:, 0]
