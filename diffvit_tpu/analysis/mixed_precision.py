@@ -23,9 +23,22 @@ import random as _random
 import numpy as np
 
 BIT_CHOICE = (4, 8)
-# distance column index per eval bit: global_distance rows are ordered
-# [uint3, uint4, int4, int8] (models/ptq/layers.py:151-170)
-_DIST_COL = {4: 2, 8: 3}
+# Distance column index per eval bit.  global_distance rows are ordered by
+# the calibration bit sweep [uint3, uint4, int4, int8]
+# (models/ptq/layers.py:151-170).  The COMMITTED reference indexes the row
+# by the *position* of the bit in bit_choice=[4,8]
+# (test_quant.py:293-297: ``global_distance[i-1][k]`` with k in {0,1}) —
+# i.e. the uint3/uint4 weight-error columns, almost certainly an upstream
+# bug (their own commented-out code maps 4->0, 8->2 under a [4,6,8,10]
+# sweep, test_quant.py:298-305) but it is the behavior the published
+# mixed-precision results ran through, so it is the default here
+# (CLAUDE.md: replicate committed behavior, document, gate the fix).
+# "intended" selects the int4/int8 columns that actually correspond to the
+# evaluated bits.
+DIST_COLUMNS = {
+    "committed": {4: 0, 8: 1},
+    "intended": {4: 2, 8: 3},
+}
 
 
 def model_size(flops, bit_config):
@@ -64,10 +77,16 @@ def sample_candidates(flops, rng, max_candidates=51, factor=1.1,
     return bit_list
 
 
-def omega_rank(bit_list, flops, mean_hessian, global_distance):
+def omega_rank(bit_list, flops, mean_hessian, global_distance,
+               columns="committed"):
     """test_quant.py:287-315: score = sum over non-patch layers of
     hessian * selected-bit distance; ascending sort (lower = better).
-    global_distance: (len(flops)-1, 4) array from calibrate()."""
+    global_distance: (len(flops)-1, 4) array from calibrate().
+
+    ``columns`` selects which distance columns a bit choice reads (see
+    DIST_COLUMNS): "committed" reproduces the reference driver exactly,
+    "intended" uses the true int4/int8 error columns."""
+    col = DIST_COLUMNS[columns]
     gd = np.asarray(global_distance)
     omega_list = []
     for cand in bit_list:
@@ -75,7 +94,7 @@ def omega_rank(bit_list, flops, mean_hessian, global_distance):
         for i, bit in enumerate(cand):
             if i == 0:
                 continue  # patch conv has no distance entry
-            omega += mean_hessian[i - 1] * gd[i - 1, _DIST_COL[bit]]
+            omega += mean_hessian[i - 1] * gd[i - 1, col[bit]]
         omega_list.append([cand, float(omega)])
     omega_list.sort(key=lambda x: x[-1])
     return omega_list
@@ -102,10 +121,14 @@ def evolutionary_search(omega_list, flops, evaluate=None, *, pop_size=25,
 
     parents = [omega_list[i][0]
                for i in range(min(pop_size, len(omega_list)))]
-    parent_popu = [[c, s] for c, s in zip(parents, evaluate_batch(parents))]
+    parent_scores = list(evaluate_batch(parents))
+    parent_popu = [[c, s] for c, s in zip(parents, parent_scores)]
+    # The carry-over score enters the evo loop holding the LAST-evaluated
+    # parent's top-1 (the reference's val_prec1 is last assigned in its
+    # parent init loop, test_quant.py:348-352) — an invalid first child
+    # inherits exactly that value, not the best parent's.
+    val_prec1 = parent_scores[-1] if parent_scores else 0.0
     parent_popu.sort(key=lambda x: x[-1], reverse=True)
-
-    val_prec1 = parent_popu[0][1] if parent_popu else 0.0
     for evo in range(evo_iter):
         # -- generate the full generation first (RNG-only, no eval deps) --
         gen = []  # (config, valid)

@@ -42,8 +42,10 @@ def qat_distill(params, qp, spec, cfg: QuantConfig, batches,
     from ..models import swin, vit
 
     mod = swin if isinstance(spec, swin.SwinSpec) else vit
-    assert not (remat and mod is swin), \
-        "remat is wired for the ViT family body (Swin blocks are windowed)"
+    if remat and mod is swin:
+        raise NotImplementedError(
+            "remat is wired for the ViT family body (Swin blocks are "
+            "windowed)")
     if fp_params is None:
         fp_params = params
     if mod is swin:

@@ -73,11 +73,14 @@ def build_transform(input_size=224, interpolation="bicubic",
     def transform(img: Image.Image):
         img = img.convert("RGB")
         w, h = img.size
-        # torchvision Resize(int): scale shorter side to `size`, keep ratio
+        # torchvision Resize(int): scale shorter side to `size`, keep ratio.
+        # The long side TRUNCATES (int(size * long / short), torchvision
+        # functional.resize) — rounding diverges by 1px on some aspect
+        # ratios, which moves the crop window and flips occasional top-1s.
         if w <= h:
-            ow, oh = size, max(1, int(round(size * h / w)))
+            ow, oh = size, max(1, int(size * h / w))
         else:
-            oh, ow = size, max(1, int(round(size * w / h)))
+            oh, ow = size, max(1, int(size * w / h))
         if (ow, oh) != (w, h):
             img = img.resize((ow, oh), resample)
         # CenterCrop(input_size) — torchvision rounding convention

@@ -162,13 +162,17 @@ class QuantizedViT:
         self._jit_cache.clear()
         return report
 
-    def qat(self, batch, bit_config=None, *, steps=200, lr=1e-5):
+    def qat(self, batch, bit_config=None, *, steps=200, lr=1e-5,
+            remat=False):
         """Data-free distillation QAT (calib/qat.py): fine-tune the latent
         float weights through the STE-threaded quantized forward toward
         the original FP teacher.  Beyond-the-reference (the reference
         never differentiates through its quantizers).  Replaces
         ``self.params``; returns the per-step loss trajectory.  Works for
-        ViT/DeiT and Swin.  Requires calibration."""
+        ViT/DeiT and Swin.  Requires calibration.  ``remat=True``
+        (ViT family) checkpoints each block in the STE forward so the
+        train step fits HBM on the deep/wide models (vit_large) —
+        bit-identical loss trajectory, one extra forward of FLOPs."""
         if self.qparams is None:
             raise RuntimeError("calibrate first")
         from .calib.qat import qat_distill
@@ -177,7 +181,8 @@ class QuantizedViT:
         batches = [self._prep(jnp.asarray(b)) for b in batches]
         new_params, losses = qat_distill(
             self.params, self.qparams, self.spec, self.cfg, batches,
-            bit_config, steps=steps, lr=lr, fp_params=self.fp_params)
+            bit_config, steps=steps, lr=lr, fp_params=self.fp_params,
+            remat=remat)
         if self.mesh is not None:
             new_params = mesh_mod.shard_params(self.mesh, new_params)
         self.params = new_params

@@ -743,6 +743,12 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     bit_config = tuple(int(v) for v in bit_config)
     assert len(bit_config) == num_bit_slots(spec), (
         f"bit_config needs {num_bit_slots(spec)} entries, got {len(bit_config)}")
+    if remat and (taps is not None or w_in_taps is not None):
+        # checked before any tap/wtap call so the caller's lists are never
+        # left partially mutated on error
+        raise ValueError(
+            "remat=True cannot export taps: tapped tensors live inside the "
+            "checkpointed block and would be recomputed, not saved")
 
     def tap(name, t):
         if taps is not None:
@@ -772,11 +778,6 @@ def forward_q(params, qp, spec: ViTSpec, cfg: QuantConfig, x,
     h = _fq(qp, "qact_embed", h, cfg.bit_a, ste)
     h = h + _fq(qp, "qact_pos", params["pos_embed"], cfg.bit_a, ste)
     h = _fq(qp, "qact1", h, cfg.bit_a, ste)
-
-    if remat:
-        assert taps is None and w_in_taps is None, (
-            "remat=True cannot export taps: tapped tensors live inside the "
-            "checkpointed block and would be recomputed, not saved")
 
     def _one_block(h, blk, i):
         p = f"blocks.{i}"

@@ -149,8 +149,9 @@ static void resample_v(const uint8_t* src, int in_h, int w,
 }
 
 // Python-round semantics (half to even) — torchvision's CenterCrop offsets
-// and Resize target sizes go through Python round(), which is banker's
-// rounding; lround would put the crop window off by one on exact .5.
+// go through Python round(), which is banker's rounding; lround would put
+// the crop window off by one on exact .5.  (Resize's LONG side does NOT
+// round: torchvision functional.resize truncates, see resize_for_crop.)
 static long round_half_even(double v) {
     double f = std::floor(v);
     double diff = v - f;
@@ -175,14 +176,17 @@ struct ResizedView {
 
 static void resize_for_crop(const uint8_t* src, int sh, int sw,
                             int resize_to, int crop, ResizedView* rv) {
+    // torchvision Resize(int) geometry: shorter side -> resize_to, long
+    // side TRUNCATED (int(size * long / short), functional.resize) — NOT
+    // rounded; a 1px difference here moves the crop window.
     int ow, oh;
     if (sw <= sh) {
         ow = resize_to;
-        oh = std::max(1L, round_half_even(
+        oh = std::max(1L, static_cast<long>(
             static_cast<double>(resize_to) * sh / sw));
     } else {
         oh = resize_to;
-        ow = std::max(1L, round_half_even(
+        ow = std::max(1L, static_cast<long>(
             static_cast<double>(resize_to) * sw / sh));
     }
 

@@ -80,6 +80,10 @@ def build_parser():
                         "STE-threaded quantized forward toward the FP "
                         "teacher on the calibration batch(es) "
                         "(beyond-the-reference, calib/qat.py)")
+    p.add_argument("--qat-remat", default=False, action="store_true",
+                   help="checkpoint each block in the QAT train step "
+                        "(jax.checkpoint full-recompute) so backward fits "
+                        "HBM on the deep models; bit-identical trajectory")
     p.add_argument("--qat-lr", default=1e-5, type=float,
                    help="Adam learning rate for --qat-steps")
     p.add_argument("--bias-corr", default=False, action="store_true",
@@ -121,6 +125,14 @@ def build_parser():
     p.add_argument("--size-factor", default=1.1, type=float,
                    help="model-size constraint multiplier vs all-4-bit "
                         "(test_quant.py:262)")
+    p.add_argument("--omega-columns", default="committed",
+                   choices=["committed", "intended"],
+                   help="global_distance columns the omega ranking reads: "
+                        "'committed' replicates the reference driver "
+                        "(bit 4->col 0/uint3, 8->col 1/uint4, "
+                        "test_quant.py:293-297 — an upstream indexing bug "
+                        "the published results ran through); 'intended' "
+                        "reads the true int4/int8 error columns")
     p.add_argument("--val-limit", default=None, type=int,
                    help="cap validation images (debug)")
     p.add_argument("--save-int", default=None, metavar="PATH",
@@ -343,7 +355,8 @@ def main(argv=None):
                 print(f"Distillation QAT ({args.qat_steps} steps, "
                       f"lr {args.qat_lr:g})...")
                 losses = model.qat(calib, bit_config,
-                                   steps=args.qat_steps, lr=args.qat_lr)
+                                   steps=args.qat_steps, lr=args.qat_lr,
+                                   remat=args.qat_remat)
                 print(f"QAT: distill MSE {losses[0]:.3e} -> "
                       f"{losses[-1]:.3e}")
             if args.bias_corr:
@@ -384,7 +397,8 @@ def main(argv=None):
         bit_list = mp.sample_candidates(flops, rng, factor=args.size_factor,
                                         groups=groups)
         omega_list = mp.omega_rank(bit_list, flops, mean_hessian,
-                                   model.global_distance)
+                                   model.global_distance,
+                                   columns=args.omega_columns)
         print("Hessien-Based Validating...")
         for i in range(min(args.pareto_top, len(omega_list))):
             evaluate(omega_list[i][0])

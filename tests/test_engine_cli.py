@@ -49,6 +49,55 @@ def test_transform_matches_torchvision_semantics(fake_data):
     assert out.shape == (3, 224, 224)
 
 
+def test_transform_long_side_truncates_like_torchvision():
+    """torchvision functional.resize TRUNCATES the long side
+    (int(size * long / short)); rounding is off by 1px on e.g. 499x375
+    (256 * 499/375 = 340.65 -> 340, not 341), which moves the crop window.
+    Pin the full chain bit-exactly against a manual PIL reference."""
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    img = Image.fromarray(rng.integers(0, 255, (375, 499, 3), dtype=np.uint8),
+                          "RGB")
+    tf = build_transform(crop_pct=0.875)
+    got = tf(img)
+
+    # manual torchvision chain: Resize(256, bicubic) -> CenterCrop(224)
+    # -> ToTensor -> Normalize, with torchvision's exact geometry
+    size = 256
+    w, h = img.size
+    assert w > h
+    ow, oh = int(size * w / h), size
+    assert ow == 340  # the truncation case (round would give 341)
+    r = img.resize((ow, oh), Image.BICUBIC)
+    left = int(round((ow - 224) / 2.0))
+    top = int(round((oh - 224) / 2.0))
+    c = r.crop((left, top, left + 224, top + 224))
+    arr = np.asarray(c, np.uint8).transpose(2, 0, 1).astype(np.float32) / 255.0
+    mean = np.asarray((0.485, 0.456, 0.406), np.float32).reshape(3, 1, 1)
+    std = np.asarray((0.229, 0.224, 0.225), np.float32).reshape(3, 1, 1)
+    np.testing.assert_array_equal(got, (arr - mean) / std)
+
+    # the native decode path shares the geometry
+    from diffvit_tpu.data import native_decode
+
+    try:
+        native_decode.load_library()
+    except Exception:
+        native_decode = None
+    if native_decode is not None:
+        import io
+
+        buf = io.BytesIO()
+        img.save(buf, format="JPEG", quality=95)
+        dec = Image.open(io.BytesIO(buf.getvalue())).convert("RGB")
+        want = tf(dec)
+        out = native_decode.decode_preprocess(
+            buf.getvalue(), mean=(0.485, 0.456, 0.406),
+            std=(0.229, 0.224, 0.225))
+        np.testing.assert_array_equal(out, want)
+
+
 def test_engine_validate(fake_data):
     import jax
 

@@ -106,6 +106,64 @@ def test_swin_ste_and_qat():
     assert e(new_params) < e(params), (e(params), e(new_params))
 
 
+def test_remat_bit_identical_primal_and_grads(setup):
+    """remat=True is pure recompute: primal AND gradients bit-identical
+    to remat=False on the TINY spec (the docstring claim, now pinned)."""
+    params, qp, cfg, x = setup
+    bc = (4,) * vit.num_bit_slots(TINY)
+
+    def loss(p, remat):
+        return jnp.mean(vit.forward_q(p, qp, TINY, cfg, x, bc, ste=True,
+                                      remat=remat) ** 2)
+
+    y0 = vit.forward_q(params, qp, TINY, cfg, x, bc, remat=False)
+    y1 = vit.forward_q(params, qp, TINY, cfg, x, bc, remat=True)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    g0 = jax.grad(loss)(params, False)
+    g1 = jax.grad(loss)(params, True)
+    for l0, l1 in zip(jax.tree_util.tree_leaves(g0),
+                      jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+
+def test_remat_rejects_taps_before_mutating_them(setup):
+    """The taps guard fires before any tap is appended (caller lists stay
+    unmutated on error) and raises ValueError, not a strippable assert."""
+    params, qp, cfg, x = setup
+    taps: list = []
+    with pytest.raises(ValueError, match="remat"):
+        vit.forward_q(params, qp, TINY, cfg, x, remat=True, taps=taps)
+    assert taps == []
+
+    from diffvit_tpu.models import swin
+
+    spec = swin.SwinSpec("swin_remat_test", embed_dim=32, depths=(1, 1),
+                         num_heads=(2, 2), window=7, img_size=56,
+                         num_classes=10)
+    sp = swin.init_swin_params(spec, jax.random.PRNGKey(0))
+    with pytest.raises(NotImplementedError, match="remat"):
+        qat_distill(sp, {}, spec, cfg, x, 4, steps=1, remat=True)
+
+
+def test_qat_remat_trajectory_identical(setup):
+    """A short qat_distill run produces the identical loss trajectory with
+    remat on and off, and Engine.qat forwards the flag."""
+    params, qp, cfg, x = setup
+    bc = (4,) * vit.num_bit_slots(TINY)
+    _, l0 = qat_distill(params, qp, TINY, cfg, x, bc, steps=10, lr=1e-4)
+    _, l1 = qat_distill(params, qp, TINY, cfg, x, bc, steps=10, lr=1e-4,
+                        remat=True)
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+
+    from diffvit_tpu.engine import QuantizedViT
+
+    model = QuantizedViT(TINY, cfg, params=params)
+    model.calibrate(x)
+    l2 = model.qat(x, bc, steps=10, lr=1e-4, remat=True)
+    assert len(l2) == 10 and np.isfinite(l2).all()
+
+
 def test_engine_qat_method(setup):
     from diffvit_tpu.engine import QuantizedViT
 
