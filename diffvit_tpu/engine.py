@@ -506,9 +506,13 @@ def load_int_model(path, mesh=None,
     """Load a save_int_model artifact into a servable IntModel.  The spec
     is reconstructed from the embedded dataclass fields (so custom specs
     round-trip, not just registry names)."""
-    from .utils.serialize import load_pytree
+    from .utils.serialize import ArtifactError, load_pytree
 
     ip, meta = load_pytree(path)
+    if not all(k in meta for k in ("model", "spec", "cfg", "is_swin")):
+        raise ArtifactError(
+            f"{path}: a save_pytree artifact, but not an int-model export "
+            f"(meta keys {sorted(meta)}; expected model/spec/cfg/is_swin)")
     sd = dict(meta["spec"])
     if meta["is_swin"]:
         from .models.swin import SwinSpec

@@ -78,20 +78,63 @@ def _npz_path(path, *, saving):
     return p
 
 
+# Artifact schema version.  Bump on any breaking change to the manifest
+# grammar or the int-model pytree layout; load_pytree refuses artifacts
+# from a different major so a stale/foreign file fails loudly instead of
+# mis-deserializing.
+FORMAT_VERSION = 1
+
+
+class ArtifactError(ValueError):
+    """A deployment artifact is corrupt, truncated, or from an
+    incompatible format version."""
+
+
 def save_pytree(path, tree, meta: dict | None = None):
     """Write ``tree`` (+ an optional JSON-able ``meta`` dict) to ``path``
     as one .npz."""
     arrays, manifest = {}, {}
     _flatten("root", tree, arrays, manifest)
     arrays["__manifest__"] = np.frombuffer(
-        json.dumps({"tree": manifest, "meta": meta or {}}).encode(),
+        json.dumps({"version": FORMAT_VERSION, "tree": manifest,
+                    "meta": meta or {}}).encode(),
         dtype=np.uint8)
     np.savez(_npz_path(path, saving=True), **arrays)
 
 
 def load_pytree(path):
-    """Inverse of save_pytree: returns ``(tree, meta)``."""
-    with np.load(_npz_path(path, saving=False)) as z:
-        blob = json.loads(bytes(z["__manifest__"].tobytes()).decode())
+    """Inverse of save_pytree: returns ``(tree, meta)``.
+
+    Raises :class:`ArtifactError` on anything that is not a well-formed
+    save_pytree artifact of the current FORMAT_VERSION — truncated or
+    non-npz files, a plain npz without the manifest, a version from a
+    newer/older writer, or a manifest whose arrays are missing."""
+    p = _npz_path(path, saving=False)
+    try:
+        z = np.load(p)
+    except FileNotFoundError:
+        raise
+    except Exception as e:
+        raise ArtifactError(f"{p}: not a readable .npz artifact "
+                            f"(truncated or wrong file type): {e}") from e
+    with z:
+        if "__manifest__" not in z.files:
+            raise ArtifactError(
+                f"{p}: no __manifest__ entry — not a save_pytree artifact")
+        try:
+            blob = json.loads(bytes(z["__manifest__"].tobytes()).decode())
+        except Exception as e:
+            raise ArtifactError(f"{p}: corrupt manifest JSON: {e}") from e
+        version = blob.get("version")
+        if version != FORMAT_VERSION:
+            raise ArtifactError(
+                f"{p}: artifact format version {version!r}, this build "
+                f"reads version {FORMAT_VERSION}")
         arrays = {k: z[k] for k in z.files if k != "__manifest__"}
+    missing = [k for k, node in blob["tree"].items()
+               if node.get("kind") == "array" and k not in arrays]
+    if missing:
+        raise ArtifactError(
+            f"{p}: {len(missing)} arrays named by the manifest are missing "
+            f"(truncated write?): {missing[:3]}...")
     return _unflatten("root", arrays, blob["tree"]), blob["meta"]

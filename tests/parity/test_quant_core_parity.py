@@ -12,7 +12,8 @@ from diffvit_tpu.ops.int_layernorm import int_layernorm
 from diffvit_tpu.ops.lis import log_int_softmax, int_softmax
 from diffvit_tpu.calib import observers as jobs
 
-pytestmark = pytest.mark.usefixtures("reference_available")
+pytestmark = [pytest.mark.usefixtures("reference_available"),
+              pytest.mark.quick]
 
 
 def _ref_bits():

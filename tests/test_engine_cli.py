@@ -26,6 +26,7 @@ def fake_data(tmp_path_factory):
     return str(root)
 
 
+@pytest.mark.quick
 def test_imagefolder_and_loader(fake_data):
     tf = build_transform()
     ds = ImageFolder(os.path.join(fake_data, "val"), tf)
@@ -98,6 +99,7 @@ def test_transform_long_side_truncates_like_torchvision():
         np.testing.assert_array_equal(out, want)
 
 
+@pytest.mark.quick
 def test_engine_validate(fake_data):
     import jax
 
@@ -176,6 +178,7 @@ def test_hessian_traces_smoke():
     assert all(0.0 <= v <= 1.0 for v in mh)
 
 
+@pytest.mark.quick
 def test_calibration_save_load(tmp_path):
     import jax
 

@@ -23,6 +23,7 @@ SWIN_TINY = swin.SwinSpec("export_swin", embed_dim=32, depths=(1, 1),
                           num_classes=10)
 
 
+@pytest.mark.quick
 def test_pytree_npz_roundtrip():
     tree = {
         "bit_config": (4, 8, -1),
@@ -48,6 +49,7 @@ def test_pytree_npz_roundtrip():
     assert out["f"] == 1.5
 
 
+@pytest.mark.quick
 def test_pytree_npz_roundtrip_extensionless_path():
     """np.savez appends '.npz' to extensionless targets; load_pytree must
     apply the same rule so `--save-int /tmp/x` / `--load-int /tmp/x`
@@ -59,6 +61,60 @@ def test_pytree_npz_roundtrip_extensionless_path():
         assert os.path.exists(p + ".npz")
         out, _ = load_pytree(p)
         np.testing.assert_array_equal(out["w"], tree["w"])
+
+
+@pytest.mark.quick
+def test_artifact_version_and_corruption_errors():
+    """load_pytree / load_int_model fail LOUDLY (ArtifactError) on
+    truncated, foreign, stale-version, or wrong-kind artifacts instead of
+    mis-deserializing (round-3 VERDICT item 8)."""
+    import json
+
+    from diffvit_tpu.utils.serialize import ArtifactError
+
+    tree = {"w": np.arange(4, dtype=np.int8)}
+    with tempfile.TemporaryDirectory() as d:
+        good = os.path.join(d, "good.npz")
+        save_pytree(good, tree, meta={"x": 1})
+
+        # truncated write
+        trunc = os.path.join(d, "trunc.npz")
+        blob = open(good, "rb").read()
+        open(trunc, "wb").write(blob[: len(blob) // 2])
+        with pytest.raises(ArtifactError, match="truncated|manifest|npz"):
+            load_pytree(trunc)
+
+        # a plain npz that was never a save_pytree artifact
+        foreign = os.path.join(d, "foreign.npz")
+        np.savez(foreign, a=np.zeros(3))
+        with pytest.raises(ArtifactError, match="__manifest__"):
+            load_pytree(foreign)
+
+        # version from a different writer
+        vers = os.path.join(d, "vers.npz")
+        manifest = {"version": 99, "tree": {"root": {"kind": "none"}},
+                    "meta": {}}
+        np.savez(vers, __manifest__=np.frombuffer(
+            json.dumps(manifest).encode(), dtype=np.uint8))
+        with pytest.raises(ArtifactError, match="version 99"):
+            load_pytree(vers)
+
+        # manifest names arrays the file doesn't carry
+        missing = os.path.join(d, "missing.npz")
+        manifest = {"version": 1, "meta": {},
+                    "tree": {"root": {"kind": "array"}}}
+        np.savez(missing, __manifest__=np.frombuffer(
+            json.dumps(manifest).encode(), dtype=np.uint8))
+        with pytest.raises(ArtifactError, match="missing"):
+            load_pytree(missing)
+
+        # a valid pytree artifact that is not an int-model export
+        with pytest.raises(ArtifactError, match="not an int-model"):
+            load_int_model(good)
+
+        # not corrupt, just absent: plain FileNotFoundError passes through
+        with pytest.raises(FileNotFoundError):
+            load_pytree(os.path.join(d, "nope.npz"))
 
 
 @pytest.fixture(scope="module")

@@ -7,6 +7,9 @@ import pytest
 from diffvit_tpu.config import QuantConfig
 from diffvit_tpu.models import vit, vit_int
 
+pytestmark = pytest.mark.quick
+
+
 TINY = vit.ViTSpec("test_tiny", embed_dim=64, depth=2, num_heads=2,
                    num_classes=10)
 NO_INPUT_Q = vit.ViTSpec("test_niq", embed_dim=64, depth=1, num_heads=2,

@@ -107,6 +107,9 @@ def test_validate_bits(calibrated):
 
 from diffvit_tpu.models import swin  # noqa: E402
 
+pytestmark = pytest.mark.quick
+
+
 SWIN_SPEC = swin.SwinSpec("mpt_swin", embed_dim=32, depths=(1, 1),
                           num_heads=(2, 2), img_size=56, num_classes=10)
 

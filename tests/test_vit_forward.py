@@ -7,6 +7,9 @@ import pytest
 from diffvit_tpu.config import QuantConfig
 from diffvit_tpu.models import vit
 
+pytestmark = pytest.mark.quick
+
+
 
 TINY = vit.ViTSpec("test_tiny", embed_dim=64, depth=2, num_heads=2,
                    num_classes=10)
