@@ -137,7 +137,7 @@ def bench_swin(model, bits, batch, steps=10, bit_config=None,
 
 
 def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
-                   native=False, emit="f32"):
+                   native=False, emit="f32", prefetch=0):
     """Host-pipeline-inclusive eval: JPEG decode -> resize/crop/normalize
     -> H2D -> integer forward.  ``native=False``: PIL decode + numpy
     transform on a thread pool; ``native=True``: the whole batch in one C
@@ -146,15 +146,19 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
     normalize on device (4x less H2D traffic through the tunnel,
     bit-identical model input — data/imagenet.device_normalize).  This
     host has ONE CPU core, so both numbers are honestly host-bound —
-    reported as their own rows, not hidden."""
+    reported as their own rows, not hidden.  ``prefetch>0``: wrap the
+    loader in DevicePrefetcher(depth=prefetch) — a feeder thread issues
+    jax.device_put as soon as a batch is decoded, so the H2D wire of
+    batch i+1 overlaps batch i's compute AND batch i+2's decode instead
+    of serializing on the consumer's jnp.asarray (round-3 e2e gap)."""
     import tempfile
 
     import jax
     import jax.numpy as jnp
 
     from diffvit_tpu.config import QuantConfig
-    from diffvit_tpu.data.imagenet import DataLoader, ImageFolder, \
-        NativeJpegLoader, build_transform, device_normalize
+    from diffvit_tpu.data.imagenet import DataLoader, DevicePrefetcher, \
+        ImageFolder, NativeJpegLoader, build_transform, device_normalize
     from diffvit_tpu.data.synthetic import make_fake_imagefolder
     from diffvit_tpu.models import vit, vit_int
 
@@ -177,6 +181,8 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
         else:
             loader = DataLoader(ds, batch_size=batch, num_workers=8,
                                 drop_last=True)
+        if prefetch:
+            loader = DevicePrefetcher(loader, depth=prefetch)
         # warm the compile outside the timed loop
         warm_dtype = jnp.uint8 if emit == "u8" else jnp.float32
         fwd(jnp.zeros((batch, 3, 224, 224), warm_dtype)).block_until_ready()
@@ -341,6 +347,10 @@ def run_matrix():
     # device-side LUT normalize, bit-identical model input
     add("pipeline_e2e_jpeg_native_u8_deit_small_int4_b64", bench_pipeline,
         native=True, emit="u8")
+    # + async H2D: a feeder thread device_puts batches as they decode,
+    # overlapping the tunnel wire with decode and compute (round-4)
+    add("pipeline_e2e_jpeg_native_u8_pf_deit_small_int4_b64",
+        bench_pipeline, native=True, emit="u8", prefetch=2)
 
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC}

@@ -307,3 +307,84 @@ class NativeJpegLoader:
                 fut = pending
                 pending = submit(bi + 1) if bi + 1 < nb else None
                 yield fut.result()
+
+
+class DevicePrefetcher:
+    """Pipeline the host->device transfer: a background thread pulls
+    batches from ``loader`` and issues ``jax.device_put`` immediately, so
+    the wire transfer of batch i+1 (and i+2, up to ``depth``) overlaps the
+    decode of later batches AND the device compute of batch i.  Without
+    it, the eval loop's ``jnp.asarray(imgs)`` serializes transfer with
+    both (the round-3 e2e gap: transfers ride the same tunnel RPC channel
+    as dispatches, one at a time).
+
+    Yields ``(device_images, labels)`` in loader order; the images are
+    already committed device arrays, safe to pass straight into a jitted
+    forward.  ``depth`` bounds device memory (depth batches resident
+    beyond the one being consumed).  ``sharding``: optional
+    jax.sharding.Sharding for the image transfer (e.g. the dp batch
+    sharding) so mesh runs land batches in their final layout instead of
+    committing to device 0 and re-sharding on entry."""
+
+    def __init__(self, loader, depth=2, sharding=None):
+        if depth < 1:
+            raise ValueError(f"depth must be >= 1, got {depth}")
+        self.loader = loader
+        self.depth = depth
+        self.sharding = sharding
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        import jax
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        _END = object()
+        stop = threading.Event()
+
+        def put(item):
+            # bounded put that aborts if the consumer walked away early
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def feeder():
+            try:
+                for imgs, labels in self.loader:
+                    # device_put returns as soon as the transfer is
+                    # enqueued; blocking happens in the consumer only if
+                    # it outruns the wire
+                    try:
+                        dev = jax.device_put(imgs, self.sharding)
+                    except ValueError:
+                        # ragged final batch not divisible by the mesh's
+                        # batch shards: ship unsharded; the engine's
+                        # _dp_pad path re-lays it out as it always did
+                        dev = jax.device_put(imgs)
+                    if not put((dev, labels)):
+                        return
+                put(_END)
+            except BaseException as e:  # surface loader errors in consumer
+                put(e)
+
+        t = threading.Thread(target=feeder, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            t.join(timeout=5.0)

@@ -105,6 +105,12 @@ def build_parser():
                         "on device — bit-identical model input "
                         "(data/imagenet.device_normalize); requires JPEG "
                         "val data (native loader)")
+    p.add_argument("--device-prefetch", default=2, type=int,
+                   metavar="DEPTH",
+                   help="async H2D depth for the eval loader: a feeder "
+                        "thread jax.device_puts batches as they decode so "
+                        "the wire transfer overlaps decode and compute "
+                        "(data/imagenet.DevicePrefetcher); 0 disables")
     p.add_argument("--native-preproc", default=False, action="store_true",
                    help="use the C++ preprocessing library (bit-exact vs the "
                         "PIL path; parallel batch assembly outside the GIL)")
@@ -264,6 +270,17 @@ def main(argv=None):
     else:
         val_loader = DataLoader(val_dataset, args.val_batchsize, shuffle=False,
                                 num_workers=args.num_workers)
+    if args.device_prefetch > 0:
+        from diffvit_tpu.data.imagenet import DevicePrefetcher
+
+        sharding = None
+        if mesh is not None:
+            from diffvit_tpu.parallel.mesh import batch_sharding
+
+            sharding = batch_sharding(mesh)
+        val_loader = DevicePrefetcher(val_loader,
+                                      depth=args.device_prefetch,
+                                      sharding=sharding)
 
     train_loader = None
 
