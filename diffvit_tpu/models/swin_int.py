@@ -83,11 +83,20 @@ def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
 
 
 def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
-                  use_pallas: bool | None = None, pallas_interpret=False):
+                  use_pallas: bool | None = None, pallas_interpret=False,
+                  lane_pad=False):
     """use_pallas: run window attention through the fused Pallas kernel
     (scores + bias + mask + LIS + attn@v in one kernel; numerically
     identical path up to f32 associativity).  Auto (None) enables it on
-    TPU backends, disables on CPU."""
+    TPU backends, disables on CPU.
+
+    lane_pad: zero-pad every int_linear whose K or N is not a multiple
+    of the 128-lane MXU width (stage 0's C=96, stage 1's C=192) up to
+    the next multiple, at the matmul boundary only — LN/observer/requant
+    semantics untouched, output sliced back, bit-identical (zero rows
+    and columns contribute exact zeros).  A measured probe for whether
+    XLA's handling of ragged lane dims leaves throughput on the table
+    (docs/PERF_ANALYSIS.md 'Swin stage-0 anatomy'); off by default."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     qp = ip["qp"]
@@ -108,16 +117,22 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
         # below 2^24, i.e. when K * 128 * 2^(bit-1) < 2^24 — true for all
         # Swin shapes at int4 and all but stage-4 fc2 at int8.  The bound
         # uses the SITE's bit (per-slot under mixed precision).
-        k = site["w_int"].shape[0]
+        k, n = site["w_int"].shape
+        w_int = site["w_int"]
+        if lane_pad and (k % 128 or n % 128):
+            kp, np_ = -k % 128, -n % 128
+            x_i8 = jnp.pad(x_i8, [(0, 0)] * (x_i8.ndim - 1) + [(0, kp)])
+            w_int = jnp.pad(w_int, ((0, kp), (0, np_)))
         wbound = 2.0 ** (site["bit"] - 1)
         if k * 128.0 * wbound < 2.0**24:
             acc = jax.lax.dot_general(
                 x_i8.astype(jnp.bfloat16),
-                site["w_int"].astype(jnp.bfloat16),
+                w_int.astype(jnp.bfloat16),
                 (((x_i8.ndim - 1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
         else:
-            acc = _int_dot(x_i8, site["w_int"]).astype(jnp.float32)
+            acc = _int_dot(x_i8, w_int).astype(jnp.float32)
+        acc = acc[..., :n]
         y = acc * (in_scale * site["sw"])
         if site["b"] is not None:
             y = y + site["b"]
