@@ -168,8 +168,14 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
     qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
     ip = vit_int.prepare_int(params, qp, spec, cfg,
                              (bits,) * vit.num_bit_slots(spec))
-    fwd = jax.jit(lambda x: vit_int.forward_q_int(ip, spec, cfg,
-                                                  device_normalize(x)))
+    # chain-token the dispatch stream: independent dispatches drain at
+    # ~1.3-1.4 ms/image through the tunnel (612-722 img/s asymptote) while
+    # token-chained ones pipeline at chip rate — bit-identical logits
+    # (utils/dispatch.py; measured in scripts/ab_chain_token.py)
+    from diffvit_tpu.utils.dispatch import ChainedDispatch
+    fwd = ChainedDispatch(
+        device_normalize,
+        lambda xf: vit_int.forward_q_int(ip, spec, cfg, xf))
 
     with tempfile.TemporaryDirectory() as root:
         make_fake_imagefolder(root, num_classes=8,
@@ -351,6 +357,11 @@ def run_matrix():
     # overlapping the tunnel wire with decode and compute (round-4)
     add("pipeline_e2e_jpeg_native_u8_pf_deit_small_int4_b64",
         bench_pipeline, native=True, emit="u8", prefetch=2)
+    # b256: amortizes the once-per-dispatch tunnel RPC the chain token
+    # can't hide (docs/PERF_ANALYSIS.md "Tunnel dispatch anatomy")
+    add("pipeline_e2e_jpeg_native_u8_pf_deit_small_int4_b256",
+        bench_pipeline, native=True, emit="u8", prefetch=2, batch=256,
+        n_images=2560)
 
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC}
