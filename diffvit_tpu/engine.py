@@ -413,6 +413,56 @@ class QuantizedViT:
             out = fn(self.params, self.qparams, bits_batch, x)
         return out[:out.shape[0] - pad] if pad else out
 
+    def forward_bits_int(self, x, bits):
+        """Single-candidate mixed-precision eval on the INTEGER execution
+        path with traced ``bits`` — the fast search substrate.  One jitted
+        program (weight codes selected per-slot from both uniform bakes,
+        models/vit_int.select_int_bits) serves every {4,8} candidate at
+        int-path speed, ~2.1x the vmapped fake path per candidate-image
+        (BENCH_MATRIX fake vs int rows).  Logits equal prepare_int(bits)'s
+        bit-for-bit (tests/test_int_bits.py), which matches forward_q to
+        rtol 2e-4 (tests/test_int_path.py) — knife-edge candidate rankings
+        can therefore differ from the reference-parity fake path, which
+        stays the default (CLI --search-path).  ViT family, single chip;
+        under a mesh use forward_bits (dp-sharded candidate axis)."""
+        if self.qparams is None:
+            raise RuntimeError("model not calibrated; call .calibrate() first")
+        if self.is_swin:
+            raise NotImplementedError(
+                "int-path search eval is wired for the ViT family; Swin "
+                "searches use the fake-path forward_bits")
+        if self.mesh is not None:
+            raise NotImplementedError(
+                "int-path search eval is single-chip; under a mesh the "
+                "fake-path forward_bits dp-shards the candidate axis")
+        key = ("int_bits",)
+        if key not in self._jit_cache:
+            from .models import vit_int
+
+            variants, sym_acts = vit_int.prepare_int_bits(
+                self.params, self.qparams, self.spec, self.cfg)
+            lis_fast = None
+            if self.cfg.lis:
+                from .ops.pallas.attention import lis_fast_ok
+
+                lis_fast = tuple(
+                    lis_fast_ok(float(jax.device_get(
+                        self.qparams[f"blocks.{i}.attn.qact_attn1.scale"])))
+                    for i in range(self.spec.depth))
+
+            def fwd(variants, bits, xf):
+                ip = vit_int.select_int_bits(variants, bits, sym_acts,
+                                             self.spec, self.cfg)
+                return vit_int.forward_q_int(ip, self.spec, self.cfg, xf,
+                                             lis_fast=lis_fast)
+
+            from .utils.dispatch import ChainedDispatch
+
+            self._jit_cache[key] = (variants, ChainedDispatch(self._prep,
+                                                              fwd))
+        variants, fn = self._jit_cache[key]
+        return fn(variants, jnp.asarray(bits, jnp.int32), x)
+
     @property
     def flops(self):
         return self._mod.flops_list(self.spec)
@@ -590,6 +640,39 @@ def validate_bits(model: QuantizedViT, loader, configs, log=print):
         total += len(tgt)
     prec1 = 100.0 * correct / max(total, 1)
     log(f"validate_bits: {len(configs)} configs x {total} images")
+    return [float(p) for p in prec1]
+
+
+def validate_bits_int(model: QuantizedViT, loader, configs, log=print):
+    """validate_bits on the INTEGER execution path: per-candidate chained
+    evals over device-resident batches (each batch crosses the tunnel
+    once, then serves every candidate).  ~2.1x the vmapped fake path per
+    candidate-image on this chip; candidate order preserved.  Top-1s can
+    differ from validate_bits on knife-edge logits (int vs fake paths
+    agree to rtol 2e-4, tests/test_int_path.py) — the reference-parity
+    search keeps the fake path (CLI --search-path fake, the default)."""
+    configs = [list(c) for c in configs]
+    if not configs:
+        return []
+    bits_dev = [jnp.asarray(c, jnp.int32) for c in configs]
+    correct = np.zeros(len(configs), np.int64)
+    total = 0
+    pending = None  # dispatch-pipelined: drain one step behind
+    for data, target in loader:
+        xd = jax.device_put(jnp.asarray(data))
+        tgt = np.asarray(target)
+        total += len(tgt)
+        for ci, b in enumerate(bits_dev):
+            logits_dev = model.forward_bits_int(xd, b)
+            if pending is not None:
+                pci, pl, pt = pending
+                correct[pci] += int((np.asarray(pl).argmax(-1) == pt).sum())
+            pending = (ci, logits_dev, tgt)
+    if pending is not None:
+        pci, pl, pt = pending
+        correct[pci] += int((np.asarray(pl).argmax(-1) == pt).sum())
+    prec1 = 100.0 * correct / max(total, 1)
+    log(f"validate_bits_int: {len(configs)} configs x {total} images")
     return [float(p) for p in prec1]
 
 

@@ -545,7 +545,8 @@ def _block_int(ib, bits4, in_scale, h, hc, spec: ViTSpec, cfg: QuantConfig,
 
 
 def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
-                  use_pallas: bool | None = None, pallas_interpret=False):
+                  use_pallas: bool | None = None, pallas_interpret=False,
+                  lis_fast=None):
     """Integer forward pass over a prepared int-model pytree.
 
     use_pallas: run attention as the fused Pallas kernel (numerically
@@ -553,7 +554,13 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
     backends and disables it on CPU (interpret mode only).  (The round-1
     axon INTERNAL error for pallas-inside-fori_loop no longer reproduces
     with the v2 kernel — both host-dispatched and fori_loop chaining work;
-    scripts/perf_breakdown.py measures both.)"""
+    scripts/perf_breakdown.py measures both.)
+
+    lis_fast: optional per-block sequence of host-precomputed fast-LIS
+    gates (see attention.lis_fast_ok).  Needed when ``ip``'s scales are
+    traced (the select_int_bits search path passes qparams as jit
+    arguments) — the in-function concrete-scale check then degrades to
+    the slow-LIS path; callers with concrete qparams can leave it None."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
 
@@ -570,7 +577,9 @@ def forward_q_int(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
         h, hc = _block_int(ib, bc[4 * i + 1: 4 * i + 5], in_scale, h, hc,
                            spec, cfg, use_pallas=use_pallas,
                            pallas_interpret=pallas_interpret,
-                           sym_acts=sym_acts)
+                           sym_acts=sym_acts,
+                           lis_fast_override=None if lis_fast is None
+                           else lis_fast[i])
 
     return _head_tail(ip, spec, cfg, h, hc)
 
@@ -630,3 +639,158 @@ def forward_q_int_serve(ip, spec: ViTSpec, cfg: QuantConfig, x, *,
         out = out.reshape(-1, npad, out.shape[-1])[:B]
     hc_out = out[:, :N]
     return _head_tail(ip, spec, cfg, None, hc_out)
+
+
+# ---------------------------------------------------------------------------
+# Bit-TRACED integer baking: the mixed-precision search on the int path.
+#
+# The fake-quant forward_q_bits (models/vit.py) is the reference-parity
+# search substrate, but it runs 2.1x slower than the integer path
+# (BENCH_MATRIX: deit_small_int4_fake_b192 3,802 vs int 8,171 img/s) and
+# the search (test_quant.py:336-407, ~185 evals) is the reference's
+# dominant workflow.  In the {4, 8} search space every candidate takes the
+# SAME static code path through forward_q_int — fused Pallas attention +
+# MLP + codes-carrying fences; only the baked VALUES (weight codes,
+# requant multipliers, smooth-quant grids) depend on the bits.  So one
+# jitted program can serve every candidate: bake both uniform variants
+# once (prepare_int_bits), select per-slot under trace (select_int_bits),
+# run forward_q_int on the result.  The per-step select cost is a few
+# weight-sized int8 reads (~0.1 ms at DeiT-S) against a ~2x matmul+VPU
+# win.
+#
+# Cross-slot coupling: prepare_int's fc1 site consumes the ATTENTION's
+# SmoothQuant channel scale at norm2 (the reference quirk,
+# vit_fquant.py:464), so its ln_out_scale/ln_rescale depend on (b_qkv,
+# b_fc1) jointly — the two uniform bakes only cover the (4,4)/(8,8)
+# diagonal.  prepare_int_bits therefore also stacks the four (b_qkv,
+# b_fc1) combinations of those two vectors per block, and select_int_bits
+# gathers by the joint index.  A host-side consistency check pins the
+# stacked diagonal to the uniform bakes bitwise, so any future coupling
+# added to prepare_int that this decomposition misses fails loudly.
+# ---------------------------------------------------------------------------
+
+_SITE_SLOT_KEYS = {"qkv": ("w_int", "mult", "in_scale"),
+                   "proj": ("w_int", "mult"),
+                   "fc1": ("w_int", "mult", "in_scale"),
+                   "fc2": ("w_int", "mult")}
+
+
+def prepare_int_bits(params, qp, spec: ViTSpec, cfg: QuantConfig):
+    """Bake the {4, 8} search space once: returns ``(variants, sym_acts)``
+    where ``variants`` is an arrays-only pytree (jit-argument safe — no
+    static leaves) and ``sym_acts`` the host-concrete codes-path gate.
+    Feed to select_int_bits under trace.  ViT family; -1 (fp) slots are
+    not part of the search space (sample_candidates never emits them)."""
+    n = num_bit_slots(spec)
+    ip4 = prepare_int(params, qp, spec, cfg, (4,) * n)
+    ip8 = prepare_int(params, qp, spec, cfg, (8,) * n)
+    sym_acts = ip8["sym_acts"]
+
+    def pair(site4, site8, keys):
+        return {"b4": {k: site4[k] for k in keys},
+                "b8": {k: site8[k] for k in keys}}
+
+    variants = {
+        # bit-independent skeleton: act-site scales/zps, norms, cls/pos,
+        # biases ride along from the uniform-8 bake (identical in both)
+        "base": {k: v for k, v in ip8.items()
+                 if k not in ("patch", "head", "blocks", "bit_config",
+                              "sym_acts")},
+        "base_blocks": [
+            {k: v for k, v in ib.items()
+             if k not in ("qkv", "proj", "fc1", "fc2")}
+            for ib in ip8["blocks"]],
+        "patch": pair(ip4["patch"], ip8["patch"],
+                      ("w_int", "mult") if not ip8["patch"]["fp"]
+                      else ("w",)),
+        "patch_extra": {k: v for k, v in ip8["patch"].items()
+                        if k not in ("w_int", "mult", "w", "fp")},
+        "head": pair(ip4["head"], ip8["head"], ("w_int", "mult")),
+        "head_b": ip8["head"]["b"],
+        "blocks": [],
+    }
+    i4x = cfg.bit_pool.index(4) if cfg.smoothquant else None
+    i8x = cfg.bit_pool.index(8) if cfg.smoothquant else None
+    for i in range(spec.depth):
+        ib4, ib8 = ip4["blocks"][i], ip8["blocks"][i]
+        blk = {s: pair(ib4[s], ib8[s], keys)
+               for s, keys in _SITE_SLOT_KEYS.items()}
+        for s in _SITE_SLOT_KEYS:
+            blk[f"{s}_b"] = ib8[s]["b"]
+        if cfg.smoothquant:
+            p = f"blocks.{i}"
+            ch_a = {4: qp[f"{p}.attn.qkv.sq.channel_scale"][i4x],
+                    8: qp[f"{p}.attn.qkv.sq.channel_scale"][i8x]}
+            ch_m = {4: qp[f"{p}.mlp.fc1.sq.channel_scale"][i4x],
+                    8: qp[f"{p}.mlp.fc1.sq.channel_scale"][i8x]}
+            s_x = {4: qp[f"{p}.mlp.fc1.qact0.scale"][i4x],
+                   8: qp[f"{p}.mlp.fc1.qact0.scale"][i8x]}
+            # joint index = 2*(b_qkv==8) + (b_fc1==8): rows (4,4) (4,8)
+            # (8,4) (8,8)
+            combos = [(4, 4), (4, 8), (8, 4), (8, 8)]
+            blk["fc1_lo"] = jnp.stack([s_x[bf] * ch_a[bq]
+                                       for bq, bf in combos])
+            blk["fc1_lr"] = jnp.stack([ch_a[bq] / ch_m[bf]
+                                       for bq, bf in combos])
+            # consistency guard: the stacked diagonal must reproduce the
+            # uniform bakes bitwise (catches future cross-slot coupling
+            # in prepare_int that this decomposition would miss)
+            import numpy as _np
+
+            for row, ibu in ((0, ib4), (3, ib8)):
+                if not (_np.array_equal(_np.asarray(blk["fc1_lo"][row]),
+                                        _np.asarray(ibu["fc1"]["ln_out_scale"]))
+                        and _np.array_equal(_np.asarray(blk["fc1_lr"][row]),
+                                            _np.asarray(ibu["fc1"]["ln_rescale"]))):
+                    raise ValueError(
+                        "prepare_int_bits: norm2 cross terms diverge from "
+                        f"prepare_int at block {i} — prepare_int grew a "
+                        "coupling this decomposition does not model")
+        variants["blocks"].append(blk)
+
+    return variants, sym_acts
+
+
+def select_int_bits(variants, bits, sym_acts, spec: ViTSpec,
+                    cfg: QuantConfig):
+    """Traced-``bits`` counterpart of prepare_int for the {4, 8} search
+    space: returns a pytree forward_q_int consumes, bit-for-bit equal to
+    ``prepare_int(..., bit_config=bits)`` for every entry the forward
+    reads (tests/test_int_bits.py).  ``bits``: (num_bit_slots,) int32 in
+    {4, 8}.  The per-head serve layouts (wq_h/...) are not reproduced —
+    forward_q_int's default path never reads them."""
+    bits = jnp.asarray(bits, jnp.int32)
+    n = num_bit_slots(spec)
+
+    def pick(slot, pr, extra=None):
+        is4 = bits[slot] == 4
+        out = {k: jnp.where(is4, pr["b4"][k], pr["b8"][k])
+               for k in pr["b4"]}
+        out["fp"] = False
+        if extra:
+            out.update(extra)
+        return out
+
+    ip = dict(variants["base"])
+    ip["bit_config"] = (8,) * n  # static: forward_q_int only probes != -1
+    ip["sym_acts"] = bool(sym_acts)
+    if "w" in variants["patch"]["b4"]:  # fp patch (vit_large input_quant=False)
+        is4 = bits[0] == 4
+        ip["patch"] = {"w": jnp.where(is4, variants["patch"]["b4"]["w"],
+                                      variants["patch"]["b8"]["w"]),
+                       "fp": True, **variants["patch_extra"]}
+    else:
+        ip["patch"] = pick(0, variants["patch"], variants["patch_extra"])
+    ip["head"] = pick(n - 1, variants["head"], {"b": variants["head_b"]})
+    ip["blocks"] = []
+    for i, blk in enumerate(variants["blocks"]):
+        ib = dict(variants["base_blocks"][i])
+        for j, s in enumerate(("qkv", "proj", "fc1", "fc2")):
+            ib[s] = pick(4 * i + 1 + j, blk[s], {"b": blk[f"{s}_b"]})
+        if cfg.smoothquant:
+            k = ((bits[4 * i + 1] == 8).astype(jnp.int32) * 2
+                 + (bits[4 * i + 3] == 8).astype(jnp.int32))
+            ib["fc1"]["ln_out_scale"] = blk["fc1_lo"][k]
+            ib["fc1"]["ln_rescale"] = blk["fc1_lr"][k]
+        ip["blocks"].append(ib)
+    return ip

@@ -139,6 +139,15 @@ def build_parser():
                         "test_quant.py:293-297 — an upstream indexing bug "
                         "the published results ran through); 'intended' "
                         "reads the true int4/int8 error columns")
+    p.add_argument("--search-path", default="fake",
+                   choices=["fake", "int"],
+                   help="mixed-search eval substrate: 'fake' is the "
+                        "reference-parity fake-quant forward (vmapped, "
+                        "dp-shardable); 'int' runs candidates on the "
+                        "integer execution path (~2.1x faster per "
+                        "candidate-image, logits differ at rtol 2e-4 so "
+                        "knife-edge rankings can diverge; ViT family, "
+                        "single chip)")
     p.add_argument("--val-limit", default=None, type=int,
                    help="cap validation images (debug)")
     p.add_argument("--save-int", default=None, metavar="PATH",
@@ -423,9 +432,20 @@ def main(argv=None):
         # fake-quant search runs every candidate of a generation in ONE
         # vmapped, dp-sharded validation pass (engine.validate_bits; works
         # for ViT/DeiT AND the Swin mixed-precision extension);
+        # --search-path int swaps in the integer execution path
+        # (engine.validate_bits_int, ~2.1x per candidate-image);
         # --int-path search keeps the per-candidate integer executables
         evaluate_batch = None
-        if not args.int_path:
+        if args.search_path == "int":
+            if model.is_swin or model.mesh is not None:
+                print("--search-path int is ViT-family/single-chip; "
+                      "falling back to the fake-quant search substrate")
+            else:
+                from diffvit_tpu.engine import validate_bits_int
+
+                evaluate_batch = lambda cands: validate_bits_int(
+                    model, val_loader, cands)
+        if evaluate_batch is None and not args.int_path:
             evaluate_batch = lambda cands: validate_bits(
                 model, val_loader, cands)
         result = mp.evolutionary_search(
