@@ -250,10 +250,19 @@ def bench_loader_host(native=False, batch=64, n_images=512, size=256,
     return best
 
 
-def run_matrix():
+def run_matrix(only=None):
+    """Measure the matrix.  ``only``: optional regex — re-measure just the
+    matching rows and MERGE them into the existing BENCH_MATRIX.json (so a
+    stale subset — e.g. host-loader rows measured on a busy core — can be
+    refreshed without paying for the whole matrix)."""
+    import re
+
     rows = []
+    pat = re.compile(only) if only else None
 
     def add(name, fn, **kw):
+        if pat is not None and not pat.search(name):
+            return
         t0 = time.perf_counter()
         try:
             v = fn(**kw)
@@ -363,6 +372,14 @@ def run_matrix():
         bench_pipeline, native=True, emit="u8", prefetch=2, batch=256,
         n_images=2560)
 
+    if pat is not None:  # merge refreshed rows into the saved matrix
+        try:
+            with open(MATRIX_PATH) as f:
+                old = json.load(f)["rows"]
+        except Exception:
+            old = []
+        fresh = {r["config"]: r for r in rows}
+        rows = [fresh.pop(r["config"], r) for r in old] + list(fresh.values())
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC}
     with open(MATRIX_PATH, "w") as f:
@@ -429,6 +446,9 @@ def main():
     ap.add_argument("--matrix", action="store_true",
                     help="measure the full BASELINE.json config set and "
                          "write BENCH_MATRIX.json")
+    ap.add_argument("--rows", default=None, metavar="REGEX",
+                    help="with --matrix: re-measure only matching rows "
+                         "and merge them into the saved matrix")
     args = ap.parse_args()
 
     ready, err = _device_ready()
@@ -447,7 +467,12 @@ def main():
         sys.exit(1)
 
     if args.matrix:
-        run_matrix()
+        run_matrix(only=args.rows)
+        if args.rows:  # partial refresh: skip the headline re-measure
+            out = {"metric": "matrix_rows_refreshed", "value": 1.0,
+                   "unit": "rows", "vs_baseline": 1.0}
+            print(json.dumps(_attach_matrix(out)))
+            return
 
     v = bench_vit(args.model, args.bits, args.path, args.batch,
                   steps=args.steps)
