@@ -259,10 +259,13 @@ def run_matrix(only=None):
 
     rows = []
     pat = re.compile(only) if only else None
+    measured = []  # names actually measured this run (advisor r4: a --rows
+                   # regex matching nothing must not look like success)
 
     def add(name, fn, **kw):
         if pat is not None and not pat.search(name):
             return
+        measured.append(name)
         t0 = time.perf_counter()
         try:
             v = fn(**kw)
@@ -382,9 +385,14 @@ def run_matrix(only=None):
         rows = [fresh.pop(r["config"], r) for r in old] + list(fresh.values())
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC}
+    if pat is not None and not measured:
+        # nothing matched: do NOT rewrite the matrix as if refreshed
+        print(f"  --rows {only!r} matched no rows; matrix left untouched",
+              flush=True)
+        return payload, 0
     with open(MATRIX_PATH, "w") as f:
         json.dump(payload, f, indent=1)
-    return payload
+    return payload, len(measured)
 
 
 def _device_ready(timeout_s=900):
@@ -451,6 +459,13 @@ def main():
                          "and merge them into the saved matrix")
     args = ap.parse_args()
 
+    if args.rows is not None:
+        # fail fast on a bad regex, BEFORE the device probe (which can
+        # take minutes through the axon tunnel) — advisor r4
+        import re
+
+        re.compile(args.rows)
+
     ready, err = _device_ready()
     if not ready:
         import sys
@@ -467,11 +482,19 @@ def main():
         sys.exit(1)
 
     if args.matrix:
-        run_matrix(only=args.rows)
+        _, n_refreshed = run_matrix(only=args.rows)
         if args.rows:  # partial refresh: skip the headline re-measure
-            out = {"metric": "matrix_rows_refreshed", "value": 1.0,
-                   "unit": "rows", "vs_baseline": 1.0}
+            out = {"metric": "matrix_rows_refreshed",
+                   "value": float(n_refreshed), "unit": "rows",
+                   "vs_baseline": 1.0 if n_refreshed else 0.0}
+            if not n_refreshed:
+                out["error"] = (f"--rows {args.rows!r} matched no matrix "
+                                "rows; nothing was measured")
             print(json.dumps(_attach_matrix(out)))
+            if not n_refreshed:
+                import sys
+
+                sys.exit(1)
             return
 
     v = bench_vit(args.model, args.bits, args.path, args.batch,
