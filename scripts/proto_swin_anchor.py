@@ -4,12 +4,19 @@ Times/validates each stage on CPU before committing the test: shimmed
 upstream Swin at anchor geometry trains, weights convert, FP preds match,
 W8/W4 cells agree, restore sweep orders identically.
 
-Run: PYTHONPATH=/root/.axon_site JAX_PLATFORMS=cpu python scripts/proto_swin_anchor.py
+Run: PYTHONPATH=/root/.axon_site python scripts/proto_swin_anchor.py
+(backend forced to CPU in-process — the JAX_PLATFORMS env var initializes
+the axon backend at import and stalls on a busy/broken tunnel)
 """
-import sys, time
+import os, sys, time
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/reference")
+
+os.environ.pop("JAX_PLATFORMS", None)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import torch
