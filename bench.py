@@ -118,6 +118,45 @@ def bench_vit(model, bits, path, batch, steps=20, bit_config=None,
                                device_chain=device_chain)
 
 
+def bench_serve_scan(model="deit_small", bits=4, k=32, steps=10):
+    """Scan-k b1 serving: k single-image graphs in ONE dispatch
+    (engine._microbatched), token-chained over a pre-put u8 request
+    buffer — measures the amortized per-image serving cost a real b1
+    request stream sees on this backend (fixed RPC + arg wire included),
+    regime-robust (the token chains the dispatches, so overlap can't
+    fake it in the fast regime)."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffvit_tpu.config import QuantConfig
+    from diffvit_tpu.data.imagenet import device_normalize
+    from diffvit_tpu.engine import _microbatched
+    from diffvit_tpu.models import vit, vit_int
+    from diffvit_tpu.utils.dispatch import ChainedDispatch
+
+    spec = vit.VIT_SPECS[model]
+    cfg = QuantConfig()
+    params = vit.init_params(spec, jax.random.PRNGKey(0))
+    qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
+    ip = vit_int.prepare_int(params, qp, spec, cfg,
+                             (bits,) * vit.num_bit_slots(spec))
+    fwd = _microbatched(
+        lambda xf: vit_int.forward_q_int(ip, spec, cfg, xf), 1)
+    cd = ChainedDispatch(device_normalize, fwd)
+    rng = np.random.default_rng(0)
+    x = jax.device_put(jnp.asarray(
+        rng.integers(0, 255, (k, 3, 224, 224), np.uint8)))
+    x.block_until_ready()
+    for _ in range(2):
+        y = cd(x)
+    y.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        y = cd(x)
+    y.block_until_ready()
+    return k * steps / (time.perf_counter() - t0)
+
+
 def bench_swin(model, bits, batch, steps=10, bit_config=None,
                device_chain=False):
     import jax
@@ -137,7 +176,8 @@ def bench_swin(model, bits, batch, steps=10, bit_config=None,
 
 
 def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
-                   native=False, emit="f32", prefetch=0):
+                   native=False, emit="f32", prefetch=0, size=256,
+                   fast=False, texture="noise"):
     """Host-pipeline-inclusive eval: JPEG decode -> resize/crop/normalize
     -> H2D -> integer forward.  ``native=False``: PIL decode + numpy
     transform on a thread pool; ``native=True``: the whole batch in one C
@@ -179,11 +219,12 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
 
     with tempfile.TemporaryDirectory() as root:
         make_fake_imagefolder(root, num_classes=8,
-                              per_class=n_images // 8, size=256)
+                              per_class=n_images // 8, size=size,
+                              texture=texture)
         ds = ImageFolder(root, build_transform())
         if native:
             loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True,
-                                      emit=emit)
+                                      fast=fast, emit=emit)
         else:
             loader = DataLoader(ds, batch_size=batch, num_workers=8,
                                 drop_last=True)
@@ -332,6 +373,15 @@ def run_matrix(only=None):
     add("deit_small_int4_serve_b1", bench_vit,
         model="deit_small", bits=4, path="serve", batch=1, steps=100,
         device_chain=True)
+    # scan-k serving (IntModel(microbatch=1) over a k-request buffer):
+    # ONE dispatch runs k b1 graphs via lax.scan, amortizing the tunnel's
+    # fixed per-dispatch RPC across the k requests (measured 24.4 -> 1.89
+    # ms/img at k=32 in the wire-bound regime — scripts/ab_ring.py,
+    # docs/PERF_ANALYSIS.md "Tunnel regimes").  Token-chained with a
+    # pre-put u8 buffer: the real request-stream dispatch cost, not the
+    # carry-threaded chip rate.
+    add("deit_small_int4_serve_scan32_b1_u8", bench_serve_scan,
+        model="deit_small", bits=4, k=32)
     add("swin_tiny_int8_int_b1", bench_swin,
         model="swin_tiny", bits=8, batch=1, steps=60, device_chain=True)
     add("swin_tiny_int8_int_b8", bench_swin,
@@ -374,6 +424,17 @@ def run_matrix(only=None):
     add("pipeline_e2e_jpeg_native_u8_pf_deit_small_int4_b256",
         bench_pipeline, native=True, emit="u8", prefetch=2, batch=256,
         n_images=2560)
+    # representative-photo fixtures at ImageNet-val-median geometry with
+    # DCT-scaled fast decode — the loader configuration the
+    # host_loader_*_fast_photo500 rows measure, now as e2e rows too
+    # (VERDICT r4 weak #6: the e2e rows previously only exercised the
+    # noise-256 fixtures where fast decode can't engage)
+    add("pipeline_e2e_jpeg_native_u8_pf_fast_photo500_deit_small_int4_b64",
+        bench_pipeline, native=True, emit="u8", prefetch=2,
+        size=(500, 375), fast=True, texture="photo")
+    add("pipeline_e2e_jpeg_native_u8_pf_fast_photo500_deit_small_int4_b256",
+        bench_pipeline, native=True, emit="u8", prefetch=2, batch=256,
+        n_images=2560, size=(500, 375), fast=True, texture="photo")
 
     if pat is not None:  # merge refreshed rows into the saved matrix
         try:

@@ -521,11 +521,40 @@ def _pp_int_forward(ip, spec, cfg, mesh, prep):
     return jax.jit(fwd)
 
 
+def _microbatched(fwd, m):
+    """Run ``fwd`` over chunks of ``m`` rows via lax.scan inside ONE
+    dispatch — bit-identical logits (each chunk runs the batch-m graph).
+    Serving use: a stream of k batch-m requests dispatched one-by-one
+    pays the tunnel's fixed per-dispatch RPC k times (~24 ms each in the
+    wire-bound regime, docs/PERF_ANALYSIS.md "Tunnel regimes"); stacking
+    them into one scan-k dispatch amortizes it — measured b1 serving
+    24.4 -> 1.89 ms/img at k=32 (scripts/ab_ring.py).  Ragged tails are
+    zero-padded to the chunk grid and the pad logits sliced away."""
+    import jax
+
+    def f(xf):
+        b = xf.shape[0]
+        pad = (-b) % m
+        if pad:
+            xf = jnp.concatenate(
+                [xf, jnp.zeros((pad,) + xf.shape[1:], xf.dtype)])
+        xs = xf.reshape(-1, m, *xf.shape[1:])
+        ys = jax.lax.scan(lambda c, xc: (c, fwd(xc)), 0, xs)[1]
+        out = ys.reshape(-1, ys.shape[-1])
+        return out[:b] if pad else out
+
+    return f
+
+
 class IntModel:
     """A deployed integer model loaded from a save_int_model artifact:
     just the baked int pytree + spec/cfg, with the same jitted-forward and
     uint8-wire entry as QuantizedViT.  No fp params, no calibration
     machinery — the serving-side object.
+
+    ``microbatch=m``: scan the forward over chunks of m rows in ONE
+    dispatch (see _microbatched) — the latency/throughput knob for
+    small-batch serving streams on dispatch-taxed backends.
 
     ``resident=True`` (ViT family, single chip): run the encoder stack as
     ONE resident Pallas kernel (ops/pallas/serve.py) instead of ~24
@@ -537,7 +566,8 @@ class IntModel:
     through it in micro-batches of 8 (forward_q_int_serve)."""
 
     def __init__(self, ip, spec, cfg, is_swin, mesh=None,
-                 input_norm=(IMAGENET_MEAN, IMAGENET_STD), resident=False):
+                 input_norm=(IMAGENET_MEAN, IMAGENET_STD), resident=False,
+                 microbatch=None):
         if is_swin:
             from .models import swin_int as int_mod
         else:
@@ -552,6 +582,8 @@ class IntModel:
             if is_swin or resident:
                 raise ValueError("pipeline parallelism supports the ViT "
                                  "family, per-kernel path")
+            if microbatch:
+                raise ValueError("microbatch is a single-chip serving knob")
             self._fwd = _pp_int_forward(ip, spec, cfg, mesh, prep)
             return
         # single-chip serving: chain-token the dispatch stream (exact-zero
@@ -565,15 +597,19 @@ class IntModel:
             from .ops.pallas.serve import prepare_resident
 
             packed = prepare_resident(ip, spec, cfg)
-            self._fwd = ChainedDispatch(
-                prep, lambda xf: int_mod.forward_q_int_serve(
-                    ip, spec, cfg, xf, packed=packed))
+            fwd = lambda xf: int_mod.forward_q_int_serve(
+                ip, spec, cfg, xf, packed=packed)
         elif mesh is None:
-            self._fwd = ChainedDispatch(
-                prep, lambda xf: int_mod.forward_q_int(ip, spec, cfg, xf))
+            fwd = lambda xf: int_mod.forward_q_int(ip, spec, cfg, xf)
         else:
+            if microbatch:
+                raise ValueError("microbatch is a single-chip serving knob")
             self._fwd = jax.jit(
                 lambda x: int_mod.forward_q_int(ip, spec, cfg, prep(x)))
+            return
+        if microbatch:
+            fwd = _microbatched(fwd, int(microbatch))
+        self._fwd = ChainedDispatch(prep, fwd)
 
     def __call__(self, x, bit_config=None, quant=True, use_int=True):
         # (bit_config is baked into the artifact; the extra kwargs make
@@ -589,7 +625,7 @@ class IntModel:
 
 def load_int_model(path, mesh=None,
                    input_norm=(IMAGENET_MEAN, IMAGENET_STD),
-                   resident=False) -> IntModel:
+                   resident=False, microbatch=None) -> IntModel:
     """Load a save_int_model artifact into a servable IntModel.  The spec
     is reconstructed from the embedded dataclass fields (so custom specs
     round-trip, not just registry names)."""
@@ -611,7 +647,8 @@ def load_int_model(path, mesh=None,
         spec = vit_mod.ViTSpec(**sd)
     cfg = QuantConfig.from_dict(meta["cfg"])
     return IntModel(ip, spec, cfg, meta["is_swin"], mesh=mesh,
-                    input_norm=input_norm, resident=resident)
+                    input_norm=input_norm, resident=resident,
+                    microbatch=microbatch)
 
 
 def validate_bits(model: QuantizedViT, loader, configs, log=print):

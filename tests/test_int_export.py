@@ -138,6 +138,26 @@ def test_int_export_roundtrip_bitexact(calibrated_vit):
     np.testing.assert_array_equal(out, ref)
 
 
+def test_int_export_microbatched_serving(calibrated_vit):
+    """IntModel(microbatch=m): scan-chunked serving (one dispatch per k
+    chunks, amortizing the tunnel's fixed per-dispatch RPC) is
+    bit-identical to the plain forward, including a ragged tail that
+    pads to the chunk grid."""
+    m, x = calibrated_vit
+    ref = np.asarray(m(x, use_int=True))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "deit.npz")
+        m.save_int_model(p)
+        mb = load_int_model(p, microbatch=2)
+    np.testing.assert_array_equal(np.asarray(mb(x)), ref)  # even split
+    # ragged tail: b=3 not a multiple of the chunk -> zero-pad + slice
+    import jax.numpy as jnp
+
+    x3 = jnp.concatenate([x, x[:1]])
+    ref3 = np.asarray(m(x3, use_int=True))
+    np.testing.assert_array_equal(np.asarray(mb(x3)), ref3)
+
+
 def test_int_export_mixed_bits(calibrated_vit):
     m, x = calibrated_vit
     bc = [4, 8] * (vit.num_bit_slots(TINY) // 2) + \
