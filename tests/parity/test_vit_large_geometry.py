@@ -1,18 +1,18 @@
-"""vit_large at TRUE geometry (24 blocks, 1024-dim, 16 heads): scales-only
-parity vs the actual reference (VERDICT r3 item 7b).
+"""vit_large at TRUE geometry (24 blocks, 1024-dim, 16 heads) vs the actual
+reference: calibration scales (VERDICT r3 item 7b) AND quantized logits
+(VERDICT r4 item 5).
 
 The standing matrix anchors vit_large's input_quant=False quirk at tiny
-geometry (test_e2e_matrix_parity.test_input_quant_false_parity); this cell
-runs the real `vit_large_patch16_224` constructor (vit_fquant.py:911-927)
-so depth-24 stat accumulation, the 1024-channel PTF argmin, and the
-no-input-QAct head/tail wiring are pinned at production scale.
+geometry (test_e2e_matrix_parity.test_input_quant_false_parity); these
+cells run the real `vit_large_patch16_224` constructor (vit_fquant.py:
+911-927) so depth-24 stat accumulation, the 1024-channel PTF argmin, the
+no-input-QAct head/tail wiring, and the full-geometry quantized forward
+(vit_fquant.py:904-931 eval semantics) are pinned at production scale.
 
-Scales-only by design: the quantized forward adds ~10 min of CPU for no
-extra semantic coverage (the forward is a deterministic function of the
-scales, already pinned elsewhere).  ~8-12 min on the 1-core host, so it
-lives in the `xl` tier — deselected from the default run (pytest.ini
-addopts), run explicitly with `pytest -m xl`; the measured result is
-recorded in PARITY.md.
+~15-20 min total on the 1-core host, so the module lives in the `xl`
+tier — deselected from the default run (pytest.ini addopts), run
+explicitly with `pytest -m xl`; measured results are recorded in
+PARITY.md.
 """
 import numpy as np
 import pytest
@@ -21,8 +21,14 @@ import torch
 pytestmark = [pytest.mark.usefixtures("reference_available"),
               pytest.mark.xl]
 
+N_IMG = 3  # calib image + 2 more: enough rows for an argmax/corr check
+           # without paying another multiple of the ~4 min/forward budget
 
-def test_vit_large_true_geometry_scales_parity():
+
+@pytest.fixture(scope="module")
+def calibrated():
+    """Build + calibrate the true-geometry vit_large in both frameworks
+    once (the expensive part, shared by the scales and logits cells)."""
     import jax.numpy as jnp
     from config import Config
     from models import vit_fquant as ref_vit
@@ -50,7 +56,11 @@ def test_vit_large_true_geometry_scales_parity():
     cfg = QuantConfig(ptf=True, lis=True, quant_method="minmax")
     qp, _ = vit.calibrate(params, spec, cfg, jnp.asarray(calib.numpy()))
     assert "qact_input.scale" not in qp
+    return model, calib, spec, params, cfg, qp
 
+
+def test_vit_large_true_geometry_scales_parity(calibrated):
+    model, _, _, _, _, qp = calibrated
     scale_pairs = [
         (model.patch_embed.qact.quantizer.scale, "patch.qact.scale"),
         (model.qact1.quantizer.scale, "qact1.scale"),
@@ -78,3 +88,44 @@ def test_vit_large_true_geometry_scales_parity():
         assert np.all(flip < 2e-4), (key, float(flip.max()))
         print(f"\nPARITY vit_large/true-geometry {key}: "
               f"agree={np.mean(agree):.4f} worst_flip={flip.max():.2e}")
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_vit_large_true_geometry_logits(calibrated, bits):
+    """Quantized forward at full 24x1024x16 geometry on N_IMG images, both
+    frameworks, deit_base-style tolerance: the PTF boundary flips the
+    scales cell tolerates perturb logits by a few act_out steps, and
+    random-weight logits are near-uniform, so exact argmax equality is a
+    coin flip — require the reference argmax inside our top-5 and within
+    a few act_out steps of our top logit, plus high correlation.
+    Reference eval semantics: /root/reference/models/vit_fquant.py:904-931
+    with bit_config as in test_quant.py:272-283."""
+    import jax.numpy as jnp
+
+    from diffvit_tpu.models import vit
+
+    model, calib, spec, params, cfg, qp = calibrated
+    rng = np.random.default_rng(11)
+    x = np.concatenate([
+        calib.numpy(),
+        rng.standard_normal((N_IMG - 1, 3, 224, 224)).astype(np.float32)])
+
+    nslots = vit.num_bit_slots(spec)
+    bit_config = [bits] * nslots
+    with torch.no_grad():
+        ref_logits = model(torch.from_numpy(x), bit_config, False)[0].numpy()
+    got = np.asarray(vit.forward_q(params, qp, spec, cfg, jnp.asarray(x),
+                                   tuple(bit_config)))
+
+    corr = float(np.corrcoef(got.reshape(-1), ref_logits.reshape(-1))[0, 1])
+    step = float(np.asarray(qp["act_out.scale"]).reshape(-1)[0])
+    top_ours = got.max(1)
+    at_ref_argmax = got[np.arange(len(got)), ref_logits.argmax(1)]
+    top5 = np.argsort(got, 1)[:, -5:]
+    print(f"\nPARITY vit_large/true-geometry W{bits} logits: "
+          f"corr={corr:.5f} argmax_gap={(top_ours - at_ref_argmax).max():.4f}"
+          f" step={step:.4f}")
+    assert np.all(top_ours - at_ref_argmax <= 5 * step + 1e-6)
+    assert all(a in t5 for a, t5 in zip(ref_logits.argmax(1), top5))
+    assert corr > 0.99, corr
+    np.testing.assert_allclose(got, ref_logits, atol=1.0)
