@@ -44,6 +44,23 @@ def _synth_qp(calibrate_fn, params):
             for k, v in qp_shapes.items()}
 
 
+def _setup_on_cpu(build):
+    """Run model init / qp synthesis / int-weight baking on the CPU
+    backend and ship the finished pytrees to the accelerator in ONE
+    transfer.  These setup paths are hundreds of tiny ops; in the
+    wire-bound tunnel regime each would pay the ~24 ms per-dispatch RPC
+    (docs/PERF_ANALYSIS.md "Tunnel regimes" — an init that is
+    milliseconds on-device takes minutes through the tunnel)."""
+    import jax
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        out = build()
+    dev = jax.devices()[0]
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, dev) if isinstance(x, jax.Array) else x,
+        out)
+
+
 def _chained_throughput(run, batch, steps=20, warmup=2, device_chain=False):
     import jax
     import jax.numpy as jnp
@@ -90,29 +107,44 @@ def bench_vit(model, bits, path, batch, steps=20, bit_config=None,
 
     spec = vit.VIT_SPECS[model]
     cfg = QuantConfig()
-    params = vit.init_params(spec, jax.random.PRNGKey(0))
 
     if path == "fp32":
+        params = _setup_on_cpu(
+            lambda: vit.init_params(spec, jax.random.PRNGKey(0)))
         run = lambda x: vit.forward_fp(params, spec, x)
         return _chained_throughput(run, batch, steps)
 
-    qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
     if bit_config is None:
         bit_config = (bits,) * vit.num_bit_slots(spec)
 
     if path in ("int", "serve"):
         from diffvit_tpu.models import vit_int
 
-        ip = vit_int.prepare_int(params, qp, spec, cfg, bit_config)
-        if path == "serve":
-            from diffvit_tpu.ops.pallas.serve import prepare_resident
+        def build():
+            params = vit.init_params(spec, jax.random.PRNGKey(0))
+            qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b),
+                           params)
+            ip = vit_int.prepare_int(params, qp, spec, cfg, bit_config)
+            if path == "serve":
+                from diffvit_tpu.ops.pallas.serve import prepare_resident
 
-            packed = prepare_resident(ip, spec, cfg)
+                return ip, prepare_resident(ip, spec, cfg)
+            return ip, None
+
+        ip, packed = _setup_on_cpu(build)
+        if path == "serve":
             run = lambda x: vit_int.forward_q_int_serve(
                 ip, spec, cfg, x, packed=packed)
         else:
             run = lambda x: vit_int.forward_q_int(ip, spec, cfg, x)
     else:
+        def build():
+            params = vit.init_params(spec, jax.random.PRNGKey(0))
+            qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b),
+                           params)
+            return params, qp
+
+        params, qp = _setup_on_cpu(build)
         run = lambda x: vit.forward_q(params, qp, spec, cfg, x, bit_config)
     return _chained_throughput(run, batch, steps,
                                device_chain=device_chain)
@@ -136,10 +168,14 @@ def bench_serve_scan(model="deit_small", bits=4, k=32, steps=10):
 
     spec = vit.VIT_SPECS[model]
     cfg = QuantConfig()
-    params = vit.init_params(spec, jax.random.PRNGKey(0))
-    qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
-    ip = vit_int.prepare_int(params, qp, spec, cfg,
-                             (bits,) * vit.num_bit_slots(spec))
+
+    def build():
+        params = vit.init_params(spec, jax.random.PRNGKey(0))
+        qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
+        return vit_int.prepare_int(params, qp, spec, cfg,
+                                   (bits,) * vit.num_bit_slots(spec))
+
+    ip = _setup_on_cpu(build)
     fwd = _microbatched(
         lambda xf: vit_int.forward_q_int(ip, spec, cfg, xf), 1)
     cd = ChainedDispatch(device_normalize, fwd)
@@ -166,10 +202,15 @@ def bench_swin(model, bits, batch, steps=10, bit_config=None,
 
     spec = swin.SWIN_SPECS[model]
     cfg = QuantConfig()
-    params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
-    qp = _synth_qp(lambda p, b: swin.calibrate(p, spec, cfg, b), params)
-    ip = swin_int.prepare_int(params, qp, spec, cfg,
-                              bit_config if bit_config is not None else bits)
+
+    def build():
+        params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
+        qp = _synth_qp(lambda p, b: swin.calibrate(p, spec, cfg, b), params)
+        return swin_int.prepare_int(
+            params, qp, spec, cfg,
+            bit_config if bit_config is not None else bits)
+
+    ip = _setup_on_cpu(build)
     run = lambda x: swin_int.forward_q_int(ip, spec, cfg, x)
     return _chained_throughput(run, batch, steps,
                                device_chain=device_chain)
@@ -204,10 +245,14 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
 
     spec = vit.VIT_SPECS[model]
     cfg = QuantConfig()
-    params = vit.init_params(spec, jax.random.PRNGKey(0))
-    qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
-    ip = vit_int.prepare_int(params, qp, spec, cfg,
-                             (bits,) * vit.num_bit_slots(spec))
+
+    def build():
+        params = vit.init_params(spec, jax.random.PRNGKey(0))
+        qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
+        return vit_int.prepare_int(params, qp, spec, cfg,
+                                   (bits,) * vit.num_bit_slots(spec))
+
+    ip = _setup_on_cpu(build)
     # chain-token the dispatch stream: independent dispatches drain at
     # ~1.3-1.4 ms/image through the tunnel (612-722 img/s asymptote) while
     # token-chained ones pipeline at chip rate — bit-identical logits

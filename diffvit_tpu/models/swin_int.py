@@ -84,7 +84,7 @@ def prepare_int(params, qp, spec: SwinSpec, cfg: QuantConfig, bit=None):
 
 def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                   use_pallas: bool | None = None, pallas_interpret=False,
-                  lane_pad=False):
+                  lane_pad=False, attn_v2=False):
     """use_pallas: run window attention through the fused Pallas kernel
     (scores + bias + mask + LIS + attn@v in one kernel; numerically
     identical path up to f32 associativity).  Auto (None) enables it on
@@ -96,7 +96,16 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
     semantics untouched, output sliced back, bit-identical (zero rows
     and columns contribute exact zeros).  A measured probe for whether
     XLA's handling of ragged lane dims leaves throughput on the table
-    (docs/PERF_ANALYSIS.md 'Swin stage-0 anatomy'); off by default."""
+    (docs/PERF_ANALYSIS.md 'Swin stage-0 anatomy'); off by default.
+
+    attn_v2: run window attention through the natural-layout
+    selection-matrix kernel (fused_swin_attention_v2) instead of the
+    round-2 kernel + its qkv pre-transpose.  MEASURED REJECT, off by
+    default: bit-identical, but the 3x tiny-dot count (head extract /
+    place matmuls) costs 20.9 vs 8.4 ms per stage-0 block segment —
+    dot-issue overhead dominates at 7x7-window shapes
+    (scripts/ab_swin_attn_seg.py, docs/PERF_ANALYSIS.md round-5 Swin
+    anatomy)."""
     if use_pallas is None:
         use_pallas = jax.default_backend() not in ("cpu",)
     qp = ip["qp"]
@@ -190,6 +199,16 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
             yw_i8 = _windows(x_i8, res, ws, shift)  # int8 reshapes
             b_, n, c = yw_i8.shape[0], ws * ws, yw_i8.shape[-1]
 
+            npad = (n + 7) // 8 * 8
+            attn_v2 = use_pallas and attn_v2
+            if use_pallas:
+                # pad window ROWS before the qkv matmul so the pad rides
+                # the matmul input instead of a separate relayout of the
+                # 3x-wider qkv stream (pad rows emit bias codes — they
+                # only ever feed masked key columns / sliced-off query
+                # rows; see fused_swin_attention_v2)
+                yw_i8 = jnp.pad(yw_i8, ((0, 0), (0, npad - n), (0, 0)))
+
             qkv = int_linear(ib["qkv"], yw_i8, s(f"{p}.qact1"))
             s1 = s(f"{p}.attn.qact1")
             if hc is not None:
@@ -207,13 +226,10 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
             bias = table_q[idx].reshape(n, n, nh).transpose(2, 0, 1)
 
             if use_pallas:
-                from ..ops.pallas.attention import fused_swin_attention
+                from ..ops.pallas.attention import (fused_swin_attention,
+                                                    fused_swin_attention_v2)
 
-                npad = (n + 7) // 8 * 8
                 s_a2 = s(f"{p}.attn.qact2")
-                qkv_p = jnp.pad(qkv_i8, ((0, 0), (0, npad - n), (0, 0)))
-                qkv_p = qkv_p.reshape(b_, npad, 3, nh, hd) \
-                    .transpose(0, 2, 3, 1, 4)
                 bias_p = jnp.pad(bias, ((0, 0), (0, npad - n), (0, npad - n)))
                 mask_div = None
                 nw = 1
@@ -227,12 +243,21 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
                     s(f"{p}.attn.qact_attn1"), 1.0 / s_a2, s_a2,
                     s1 / s(f"{p}.attn.qact3"),
                 ]).astype(jnp.float32)
-                o_codes = fused_swin_attention(
-                    qkv_p, bias_p, mask_div, scalars, num_heads=nh,
-                    n_real=n, n_windows=nw, bits=cfg.bit_s.bits,
-                    lis=cfg.lis, interpret=pallas_interpret)
-                o_i8 = o_codes.transpose(0, 2, 1, 3)[:, :n] \
-                    .reshape(b_, n, c)
+                if attn_v2:
+                    o_i8 = fused_swin_attention_v2(
+                        qkv_i8, bias_p, mask_div, scalars, num_heads=nh,
+                        head_dim=hd, n_real=n, n_windows=nw,
+                        bits=cfg.bit_s.bits, lis=cfg.lis,
+                        interpret=pallas_interpret)[:, :n]
+                else:
+                    qkv_p = qkv_i8.reshape(b_, npad, 3, nh, hd) \
+                        .transpose(0, 2, 3, 1, 4)
+                    o_codes = fused_swin_attention(
+                        qkv_p, bias_p, mask_div, scalars, num_heads=nh,
+                        n_real=n, n_windows=nw, bits=cfg.bit_s.bits,
+                        lis=cfg.lis, interpret=pallas_interpret)
+                    o_i8 = o_codes.transpose(0, 2, 1, 3)[:, :n] \
+                        .reshape(b_, n, c)
             else:
                 qkv_h = qkv_i8.reshape(b_, n, 3, nh, hd) \
                     .transpose(2, 0, 3, 1, 4)

@@ -35,6 +35,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -862,6 +863,131 @@ def fused_swin_attention(qkv_i8, bias_q, mask_div, scalars, *, num_heads,
         out_shape=jax.ShapeDtypeStruct((bw, h, npad, d), jnp.int8),
         interpret=interpret,
     )(qkv_i8, bias_q, mask_div, scalars)
+
+
+def _swin_attn_kernel_v2(qkv_ref, sel_ref, selt_ref, bias_ref, mask_ref,
+                         scal_ref, out_ref, *, n_real, bits, lis, group,
+                         has_mask, nheads):
+    # Same math as _swin_attn_kernel; qkv arrives in the NATURAL
+    # (group, npad, 3C) layout of the qkv matmul output, so the
+    # (Bw,npad,3C) -> (Bw,3,H,npad,D) XLA relayout the v1 kernel required
+    # (a full int8 r/w of the widest stream in the block) no longer
+    # exists.  Heads are extracted with constant 0/1 SELECTION-MATRIX
+    # matmuls (sel: (3H, 3C, D); selt: (H, D, C)) — "slice via MXU":
+    # zero VPU cost, zero relayout, exact on integer codes — instead of
+    # lane-offset slices (measured catastrophic in-register, and
+    # unsupported as sub-128 BlockSpec lane blocks).  Per-head outputs
+    # are placed back into natural (npad, C) lanes the same way.
+    c1 = scal_ref[0]
+    s_a1 = scal_ref[1]
+    inv_s2 = scal_ref[2]
+    s_a2 = scal_ref[3]
+    c2 = scal_ref[4]
+
+    npad = qkv_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (npad, npad), dimension=1)
+    col_ok = col < n_real
+
+    for g in range(group):
+        xw = qkv_ref[g].astype(jnp.bfloat16)  # int8 codes, exact in bf16
+        acc = None
+        for h in range(nheads):
+            q = jax.lax.dot_general(
+                xw, sel_ref[h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            k = jax.lax.dot_general(
+                xw, sel_ref[nheads + h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            v = jax.lax.dot_general(
+                xw, sel_ref[2 * nheads + h], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q, k, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            a1c = jnp.clip(jnp.round(s * c1), -128.0, 127.0)  # qact_attn1
+            af = a1c * s_a1 + bias_ref[h]
+            a2c = jnp.clip(jnp.round(af * inv_s2), -128.0, 127.0)  # qact2
+            am = a2c + mask_ref[g] if has_mask else a2c
+            if lis:
+                attn = _lis_body(am, s_a2, bits, col_ok)
+            else:
+                logits = jnp.where(col_ok, am * s_a2, -jnp.inf)
+                attn = jax.nn.softmax(logits, axis=-1).astype(jnp.bfloat16)
+            o = jax.lax.dot_general(
+                attn, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            o = jnp.clip(jnp.round(o * c2), -128.0, 127.0)  # qact3 codes
+            part = jax.lax.dot_general(   # place head lanes: o @ selt[h]
+                o.astype(jnp.bfloat16), selt_ref[h],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            acc = part if acc is None else acc + part
+        out_ref[g] = acc.astype(jnp.int8)  # disjoint lanes: exact codes
+
+
+def fused_swin_attention_v2(qkv_i8, bias_q, mask_div, scalars, *, num_heads,
+                            head_dim, n_real, n_windows, bits=4, lis=True,
+                            interpret=False):
+    """Fused Swin window attention, natural-layout qkv (see
+    _swin_attn_kernel_v2).
+
+    qkv_i8: (Bw, npad, 3C) int8 on the attn.qact1 grid — the qkv linear's
+    requantized output with torch column order [q|k|v] x head x head_dim,
+    window rows padded to npad BEFORE the matmul (pad rows carry bias
+    codes; they only ever feed masked key columns / sliced-off query
+    rows).  bias_q: (H, npad, npad) f32 fake-quanted relative-position
+    bias.  mask_div: (nW, npad, npad) f32 shift mask divided by s_a2, or
+    None.  Returns (Bw, npad, C) int8 codes on the qact3 grid with the
+    same head-major column order — directly consumable by the proj
+    matmul, no transposes anywhere.
+    """
+    bw, npad, c3 = qkv_i8.shape
+    c = num_heads * head_dim
+    assert c3 == 3 * c
+    has_mask = mask_div is not None
+    group = 32  # measured best of 16/32/64 at swin_tiny b64 (v1)
+    while bw % group:
+        group //= 2
+    if has_mask and n_windows < group:
+        mask_div = jnp.tile(mask_div, (group // n_windows, 1, 1))
+    if not has_mask:
+        mask_div = jnp.zeros((group, npad, npad), jnp.float32)
+    mdiv = max(mask_div.shape[0] // group, 1)
+
+    # constant selection matrices: sel[s*H+h] = I_{3C}[:, s*C + h*D : +D]
+    # (extract), selt[h] = I_C[h*D : (h+1)*D, :] (place row d at col h*D+d)
+    eye3 = np.eye(c3, dtype=np.float32)
+    sel = np.stack([
+        eye3[:, s * c + h * head_dim:s * c + (h + 1) * head_dim]
+        for s in range(3) for h in range(num_heads)])
+    selt = np.stack([np.eye(c, dtype=np.float32)[h * head_dim:
+                                                 (h + 1) * head_dim]
+                     for h in range(num_heads)])
+
+    kernel = functools.partial(_swin_attn_kernel_v2, n_real=n_real,
+                               bits=bits, lis=lis, group=group,
+                               has_mask=has_mask, nheads=num_heads)
+    return pl.pallas_call(
+        kernel,
+        grid=(bw // group,),
+        in_specs=[
+            pl.BlockSpec((group, npad, c3), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # sel
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # selt
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bias (all heads)
+            pl.BlockSpec((group, npad, npad),
+                         lambda i: (jax.lax.rem(i, mdiv), 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((group, npad, c), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bw, npad, c), jnp.int8),
+        interpret=interpret,
+    )(qkv_i8, jnp.asarray(sel, jnp.bfloat16), jnp.asarray(selt,
+                                                          jnp.bfloat16),
+      bias_q, mask_div, scalars)
 
 
 def fused_int_attention(qkv_i8, scalars, *, num_heads, n_real, bits=4,

@@ -61,14 +61,22 @@ def main():
     spec = swin.SWIN_SPECS["swin_tiny"]
     cfg = QuantConfig()
     rng = np.random.default_rng(0)
-    params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
-    calib = jnp.asarray(rng.standard_normal((2, 3, 224, 224)), jnp.float32)
-    qp_shapes, _ = jax.eval_shape(
-        lambda p, b: swin.calibrate(p, spec, cfg, b), params, calib)
-    qp = {k: (jnp.zeros(v.shape, v.dtype) if k.endswith(".zp")
-              else jnp.full(v.shape, 2.0**-6, v.dtype))
-          for k, v in qp_shapes.items()}
-    ip = swin_int.prepare_int(params, qp, spec, cfg, 8)
+    # setup on the CPU backend: hundreds of tiny init/bake ops would
+    # each pay the tunnel's ~24 ms per-dispatch RPC (bench._setup_on_cpu)
+    import bench
+
+    def build():
+        params = swin.init_swin_params(spec, jax.random.PRNGKey(0))
+        calib = jnp.asarray(rng.standard_normal((2, 3, 224, 224)),
+                            jnp.float32)
+        qp_shapes, _ = jax.eval_shape(
+            lambda p, b: swin.calibrate(p, spec, cfg, b), params, calib)
+        qp = {k: (jnp.zeros(v.shape, v.dtype) if k.endswith(".zp")
+                  else jnp.full(v.shape, 2.0**-6, v.dtype))
+              for k, v in qp_shapes.items()}
+        return qp, swin_int.prepare_int(params, qp, spec, cfg, 8)
+
+    qp, ip = bench._setup_on_cpu(build)
 
     x_img = jnp.asarray(rng.standard_normal((B, 3, 224, 224)), jnp.float32)
     t_full = chain_host(

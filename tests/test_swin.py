@@ -136,17 +136,21 @@ def test_swin_fused_attention_kernel_matches_xla(setup):
         ip = swin_int.prepare_int(params, qp, spec, cfg, bit=4)
         ref = np.asarray(swin_int.forward_q_int(ip, spec, cfg, x,
                                                 use_pallas=False))
-        got = np.asarray(swin_int.forward_q_int(ip, spec, cfg, x,
-                                                use_pallas=True,
-                                                pallas_interpret=True))
-        if cfg.lis:
-            # LIS codes are exact PoT values -> bit-identical paths
-            np.testing.assert_array_equal(got, ref)
-        else:
-            # float softmax rounds differently between matmul orders (bf16
-            # probs); allow one-code slack compounding through the blocks
-            np.testing.assert_allclose(got, ref, atol=0.08)
-            np.testing.assert_array_equal(got.argmax(1), ref.argmax(1))
+        # v1 = production; attn_v2 = the selection-matrix experiment
+        # (measured reject, kept correct behind the flag)
+        for kw in ({}, {"attn_v2": True}):
+            got = np.asarray(swin_int.forward_q_int(ip, spec, cfg, x,
+                                                    use_pallas=True,
+                                                    pallas_interpret=True,
+                                                    **kw))
+            if cfg.lis:
+                # LIS codes are exact PoT values -> bit-identical paths
+                np.testing.assert_array_equal(got, ref)
+            else:
+                # float softmax rounds differently between matmul orders
+                # (bf16 probs); one-code slack compounding through blocks
+                np.testing.assert_allclose(got, ref, atol=0.08)
+                np.testing.assert_array_equal(got.argmax(1), ref.argmax(1))
 
 
 def test_swin_multibatch_calibration(setup):
