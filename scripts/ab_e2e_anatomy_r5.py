@@ -36,10 +36,15 @@ def main():
 
     spec = vit.VIT_SPECS["deit_small"]
     cfg = QuantConfig()
-    params = vit.init_params(spec, jax.random.PRNGKey(0))
-    qp = bench._synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
-    ip = vit_int.prepare_int(params, qp, spec, cfg,
-                             (4,) * vit.num_bit_slots(spec))
+
+    def build():
+        params = vit.init_params(spec, jax.random.PRNGKey(0))
+        qp = bench._synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b),
+                             params)
+        return vit_int.prepare_int(params, qp, spec, cfg,
+                                   (4,) * vit.num_bit_slots(spec))
+
+    ip = bench._setup_on_cpu(build)
 
     with tempfile.TemporaryDirectory() as root:
         n_images = 1024
