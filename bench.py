@@ -490,7 +490,24 @@ def run_matrix(only=None):
         fresh = {r["config"]: r for r in rows}
         rows = [fresh.pop(r["config"], r) for r in old] + list(fresh.values())
     payload = {"rows": rows, "unit": "images/sec/chip",
-               "target": TARGET_IMG_PER_SEC}
+               "target": TARGET_IMG_PER_SEC,
+               "notes": {
+                   "chip_rows": "model rows are carry-threaded chained "
+                   "timing = true per-chip compute rate (CLAUDE.md; "
+                   "fire-and-forget lies on this backend)",
+                   "pipeline_e2e_rows": "host-fed rows are wire-bound on "
+                   "this rig: every image crosses the tunnel twice "
+                   "(device_put ~37 MB/s + per-dispatch re-ship ~110 "
+                   "MB/s, serialized with compute).  The honest e2e "
+                   "target is the measured component bound "
+                   "min(decode, put-ceiling) x contention — NOT the "
+                   "chip rate and NOT the 5k north star, which is both "
+                   "decode-impossible on 1 host core and wire-impossible "
+                   "at these bandwidths.  Split + structure sweep: "
+                   "docs/PERF_ANALYSIS.md round-5 e2e section; b256 "
+                   "interleaves worse than b64 (longer atomic RPCs), so "
+                   "prefer b64 e2e on this rig.",
+               }}
     if pat is not None and not measured:
         # nothing matched: do NOT rewrite the matrix as if refreshed
         print(f"  --rows {only!r} matched no rows; matrix left untouched",
