@@ -336,6 +336,71 @@ def bench_loader_host(native=False, batch=64, n_images=512, size=256,
     return best
 
 
+def probe_tunnel_regime(steps=12):
+    """Classify the tunnel's dispatch regime so the matrix rows are
+    self-describing (docs/PERF_ANALYSIS.md "Tunnel regimes": the fast
+    path vanished mid-round-4, silently changing what the committed e2e
+    rows meant).  Two chained legs over a b64-u8-sized payload (9.6 MB):
+
+      pre-put  — every step consumes the SAME pre-put HOST-ORIGINATED
+                 device buffer, ordered by a token (in the wire-bound
+                 regime each such dispatch pays ~24 ms fixed RPC +
+                 bytes/~110 MB/s)
+      carry    — every step consumes the previous step's OUTPUT
+                 (rides free in every regime observed so far)
+
+    ratio >= 4 ⇒ "wire-bound" (host-fed rows measure the wire, not the
+    pipeline); else "fast" (host-originated args pipeline at chip rate).
+    Costs a few seconds; compute is a trivial reduction so both legs are
+    dispatch-dominated.
+
+    The payload MUST come from host memory (numpy): what the wire-bound
+    regime re-ships per dispatch is buffers whose PROVENANCE is the host.
+    A `jnp.zeros` payload is created by an on-device fill — a dispatch
+    output — and rides free even in the wire-bound regime (measured: the
+    same loop reads 0.03 ms/step with a jnp.zeros payload and ~111 ms/step
+    with an equal-sized numpy one), which would misclassify the regime as
+    fast."""
+    import jax
+    import jax.numpy as jnp
+
+    payload = np.zeros((64, 3, 224, 224), np.uint8)
+
+    @jax.jit
+    def preput_step(x, tok):
+        return tok * 0.5 + jnp.sum(x, dtype=jnp.int32).astype(jnp.float32)
+
+    @jax.jit
+    def carry_step(x):
+        return x * 1.0000001
+
+    xd = jax.device_put(payload)
+    xd.block_until_ready()
+    tok = preput_step(xd, jnp.float32(0.0))
+    tok.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        tok = preput_step(xd, tok)
+    tok.block_until_ready()
+    preput_ms = (time.perf_counter() - t0) / steps * 1e3
+
+    c = jnp.asarray(payload, jnp.float32)
+    c = carry_step(c)
+    c.block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        c = carry_step(c)
+    c.block_until_ready()
+    carry_ms = (time.perf_counter() - t0) / steps * 1e3
+
+    ratio = preput_ms / max(carry_ms, 1e-6)
+    return {"preput_arg_ms_per_step": round(preput_ms, 2),
+            "carry_ms_per_step": round(carry_ms, 2),
+            "ratio": round(ratio, 1),
+            "verdict": "wire-bound" if ratio >= 4.0 else "fast",
+            "payload_mb": 9.6}
+
+
 def run_matrix(only=None):
     """Measure the matrix.  ``only``: optional regex — re-measure just the
     matching rows and MERGE them into the existing BENCH_MATRIX.json (so a
@@ -347,6 +412,14 @@ def run_matrix(only=None):
     pat = re.compile(only) if only else None
     measured = []  # names actually measured this run (advisor r4: a --rows
                    # regex matching nothing must not look like success)
+
+    try:
+        regime = probe_tunnel_regime()
+        print(f"  tunnel regime: {regime['verdict']} "
+              f"(pre-put arg {regime['preput_arg_ms_per_step']} ms/step vs "
+              f"carry {regime['carry_ms_per_step']} ms/step)", flush=True)
+    except Exception as e:  # the probe must never block the matrix
+        regime = {"error": str(e)[:200]}
 
     def add(name, fn, **kw):
         if pat is not None and not pat.search(name):
@@ -491,6 +564,7 @@ def run_matrix(only=None):
         rows = [fresh.pop(r["config"], r) for r in old] + list(fresh.values())
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC,
+               "tunnel_regime_at_measurement": regime,
                "notes": {
                    "chip_rows": "model rows are carry-threaded chained "
                    "timing = true per-chip compute rate (CLAUDE.md; "
@@ -507,6 +581,12 @@ def run_matrix(only=None):
                    "docs/PERF_ANALYSIS.md round-5 e2e section; b256 "
                    "interleaves worse than b64 (longer atomic RPCs), so "
                    "prefer b64 e2e on this rig.",
+                   "tunnel_regime": "the host-fed rows (pipeline_e2e, "
+                   "serve_scan) depend on the tunnel's dispatch regime, "
+                   "which has flipped between rounds (round 4's fast path "
+                   "vanished mid-round); tunnel_regime_at_measurement "
+                   "records bench.probe_tunnel_regime's classification "
+                   "from THIS matrix run so the rows are self-describing.",
                }}
     if pat is not None and not measured:
         # nothing matched: do NOT rewrite the matrix as if refreshed
