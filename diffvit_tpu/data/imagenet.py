@@ -53,6 +53,74 @@ def device_normalize(x, mean=IMAGENET_MEAN, std=IMAGENET_STD):
     return jnp.stack([tb[c][xi[:, c]] for c in range(3)], 1)
 
 
+def input_code_lut(scale, zero_point, mean=IMAGENET_MEAN, std=IMAGENET_STD,
+                   qmin=-128, qmax=127):
+    """(3, 256) int8 LUT composing ToTensor+Normalize with the model's
+    input fake-quant: ``lut[c][v]`` is the int8 residual-stream CODE the
+    integer path derives for a uint8 pixel ``v`` in channel ``c``
+    (``vit_int._embed_front``: ``_requant_i8(fake_quant(normalize(v)))``).
+
+    Why this exists: the u8 wire's on-device LUT normalize is a 12.8M-
+    element gather at b256 — measured at ~322 ms/step on the round-5
+    backend (scripts/ab_depth_bisect.py: the entire misattributed
+    'dispatch wire tax' is this op).  Since the model immediately
+    quantizes its input anyway, the whole u8 -> f32 -> code chain
+    collapses into one 768-entry table applied HOST-side at memory speed
+    (``encode_input``), shipping the SAME byte count (1 byte/pixel) and
+    deleting the device gather outright.
+
+    Built in f32 numpy with the exact op sequence of the device path —
+    LUT normalize (this module), then quantize/round/clip and the int
+    path's requant (ops/quant.py:quantize, vit_int._requant_i8) — so the
+    codes are bit-identical to the u8-wire path by construction
+    (asserted exhaustively over all 768 values in
+    tests/test_codes_wire.py)."""
+    v = np.arange(256, dtype=np.float32)
+    mean32 = np.asarray(mean, np.float32).reshape(-1)
+    std32 = np.asarray(std, np.float32).reshape(-1)
+    norm = np.stack([(v / np.float32(255.0) - m) / s
+                     for m, s in zip(mean32, std32)])  # (3, 256) f32
+    scale = np.float32(np.asarray(scale).reshape(()))
+    zp = np.float32(np.asarray(zero_point).reshape(()))
+    # fake-quant to the input grid (``qmin``/``qmax`` = the qact_input
+    # BitType's bounds — int8 in the committed drivers)
+    q = np.clip(np.round(norm / scale + zp), qmin, qmax)
+    xq = (q - zp) * scale
+    # the integer path's requant back to codes (vit_int._requant_i8)
+    codes = np.clip(np.round(xq / scale), -128, 127)
+    return codes.astype(np.int8)
+
+
+def encode_input(x, lut):
+    """Apply ``input_code_lut`` host-side: uint8 NCHW (or CHW) batch ->
+    int8 input codes, same shape.  numpy fancy-indexing per channel —
+    memory-speed on the host, vs the ~322 ms/step device gather it
+    replaces."""
+    x = np.asarray(x)
+    if x.dtype != np.uint8:
+        raise TypeError(f"encode_input expects uint8 pixels, got {x.dtype}")
+    if x.ndim == 3:
+        return np.stack([lut[c][x[c]] for c in range(3)], 0)
+    return np.stack([lut[c][x[:, c]] for c in range(3)], 1)
+
+
+class CodesLoader:
+    """Wrap a (images, labels) loader so images arrive as int8 input
+    codes (``encode_input`` applied on the host thread).  Drop-in for
+    engine.validate / DevicePrefetcher; pairs with the int forward's
+    int8 ingest (vit_int/swin_int dtype dispatch)."""
+
+    def __init__(self, loader, lut):
+        self.loader, self.lut = loader, np.asarray(lut)
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        for imgs, labels in self.loader:
+            yield encode_input(imgs, self.lut), labels
+
+
 def build_transform(input_size=224, interpolation="bicubic",
                     mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
                     crop_pct=0.875, normalize=True):

@@ -576,6 +576,8 @@ class IntModel:
             ip = mesh_mod.shard_int_params(mesh, ip)
         self.ip, self.spec, self.cfg, self.mesh = ip, spec, cfg, mesh
         self.is_swin = is_swin
+        self.input_norm = tuple(input_norm)
+        self._lut = None
         mean, std = input_norm
         prep = partial(device_normalize, mean=mean, std=std)
         if mesh is not None and mesh.shape.get("pp", 1) > 1:
@@ -610,6 +612,39 @@ class IntModel:
         if microbatch:
             fwd = _microbatched(fwd, int(microbatch))
         self._fwd = ChainedDispatch(prep, fwd)
+
+    @property
+    def input_lut(self):
+        """(3, 256) int8 table for the CODES WIRE: encode uint8 crops
+        host-side (data/imagenet.encode_input / CodesLoader) and feed the
+        int8 result straight to ``__call__`` — bit-identical logits with
+        zero on-device ingest cost (the u8 wire's device LUT normalize is
+        a giant gather, ~322 ms/step at b256 on the round-5 backend —
+        docs/PERF_ANALYSIS.md round-5 correction)."""
+        if self._lut is None:
+            from .data.imagenet import input_code_lut
+
+            if not self.spec.input_quant:
+                raise ValueError("codes wire requires input_quant=True; "
+                                 "this model takes unquantized f32 input")
+            if self.is_swin:
+                qp = self.ip["qp"]
+                scale, zp = qp["qact_input.scale"], qp["qact_input.zp"]
+            else:
+                site = self.ip["qact_input"]
+                scale, zp = site["scale"], site["zp"]
+            bt = self.cfg.bit_a
+            mean, std = self.input_norm
+            self._lut = input_code_lut(
+                np.asarray(scale), np.asarray(zp), mean=mean, std=std,
+                qmin=bt.lower_bound, qmax=bt.upper_bound)
+        return self._lut
+
+    def encode(self, x):
+        """uint8 NCHW batch -> int8 input codes (host-side numpy)."""
+        from .data.imagenet import encode_input
+
+        return encode_input(x, self.input_lut)
 
     def __call__(self, x, bit_config=None, quant=True, use_int=True):
         # (bit_config is baked into the artifact; the extra kwargs make

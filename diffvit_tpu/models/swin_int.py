@@ -147,11 +147,21 @@ def forward_q_int(ip, spec: SwinSpec, cfg: QuantConfig, x, *,
             y = y + site["b"]
         return y
 
-    if spec.input_quant:
-        x = fq("qact_input", x)
-    patches = swin_patchify(x, spec)
-    p_i8 = _requant_i8(patches, s("qact_input")) if spec.input_quant \
-        else None
+    if x.dtype == jnp.int8:
+        # pre-encoded qact_input codes (data/imagenet.input_code_lut):
+        # ``_requant_i8(swin_patchify(fq(x)))`` IS the codes — patchify
+        # only reshuffles — so this skips the on-device u8 LUT gather
+        # (see vit_int._embed_front's twin dispatch for the measurement)
+        if not spec.input_quant:
+            raise ValueError("int8 input codes require input_quant=True")
+        p_i8 = swin_patchify(x, spec)
+        patches = None
+    else:
+        if spec.input_quant:
+            x = fq("qact_input", x)
+        patches = swin_patchify(x, spec)
+        p_i8 = _requant_i8(patches, s("qact_input")) if spec.input_quant \
+            else None
     if p_i8 is not None:
         h = int_linear(ip["patch"], p_i8, s("qact_input"))
     else:

@@ -248,13 +248,39 @@ def _round_up(n, m):
 
 def _embed_front(ip, spec: ViTSpec, cfg: QuantConfig, x):
     """Input quant -> patch embed -> cls/pos fences -> qact1 fake-quant
-    (the stem shared by forward_q_int and the resident serving path)."""
+    (the stem shared by forward_q_int and the resident serving path).
+
+    int8 input = PRE-ENCODED qact_input codes (data/imagenet.
+    input_code_lut applied host-side): value = codes * scale.  Bit-
+    identical to the u8/f32 wire — ``_requant_i8(patchify(fq(x)))`` IS
+    the codes (patchify only reshuffles) — while deleting the on-device
+    u8 LUT gather (~322 ms/step at b256 on the round-5 backend,
+    scripts/ab_depth_bisect.py).  Dtype is a static trace property, so
+    each wire format is its own executable, like the u8 wire before it."""
     bt_a = cfg.bit_a
     B = x.shape[0]
+    pt = ip["patch"]
+    if x.dtype == jnp.int8:
+        if not spec.input_quant:
+            raise ValueError(
+                "int8 input codes require input_quant=True (vit_large-"
+                "style models take unquantized input; ship f32 instead)")
+        p_int = patchify(x, spec)
+        if pt["fp"]:
+            h = (p_int.astype(jnp.float32)
+                 * ip["qact_input"]["scale"]) @ pt["w"].T + pt["b"]
+        else:
+            h = _int_dot(p_int, pt["w_int"]).astype(jnp.float32) \
+                * pt["mult"] + pt["b"]
+        h = _fq_site(ip["patch.qact"], h, bt_a)
+        cls = jnp.broadcast_to(ip["cls_token"], (B, 1, spec.embed_dim))
+        h = jnp.concatenate([cls, h], axis=1)
+        h = _fq_site(ip["qact_embed"], h, bt_a)
+        h = h + _fq_site(ip["qact_pos"], ip["pos_embed"], bt_a)
+        return _fq_site(ip["qact1"], h, bt_a)
     if spec.input_quant:
         x = _fq_site(ip["qact_input"], x, bt_a)
     patches = patchify(x, spec)
-    pt = ip["patch"]
     if pt["fp"]:
         h = patches @ pt["w"].T + pt["b"]
     else:
