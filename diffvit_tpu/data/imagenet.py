@@ -93,15 +93,21 @@ def input_code_lut(scale, zero_point, mean=IMAGENET_MEAN, std=IMAGENET_STD,
 
 def encode_input(x, lut):
     """Apply ``input_code_lut`` host-side: uint8 NCHW (or CHW) batch ->
-    int8 input codes, same shape.  numpy fancy-indexing per channel —
-    memory-speed on the host, vs the ~322 ms/step device gather it
-    replaces."""
+    int8 input codes, same shape.  Prefers the native one-pass LUT
+    (native/preproc.cpp apply_code_lut, ~memory speed); numpy
+    fancy-indexing fallback when the native library can't build.  Either
+    way vastly cheaper than the ~322 ms/step device gather it replaces."""
     x = np.asarray(x)
     if x.dtype != np.uint8:
         raise TypeError(f"encode_input expects uint8 pixels, got {x.dtype}")
-    if x.ndim == 3:
-        return np.stack([lut[c][x[c]] for c in range(3)], 0)
-    return np.stack([lut[c][x[:, c]] for c in range(3)], 1)
+    try:
+        from .native_decode import apply_code_lut
+
+        return apply_code_lut(x, lut)
+    except Exception:  # no g++/libjpeg: the numpy path is bit-identical
+        if x.ndim == 3:
+            return np.stack([lut[c][x[c]] for c in range(3)], 0)
+        return np.stack([lut[c][x[:, c]] for c in range(3)], 1)
 
 
 class CodesLoader:
@@ -264,7 +270,7 @@ class NativeJpegLoader:
 
     def __init__(self, dataset: ImageFolder, batch_size, drop_last=False,
                  input_size=None, crop_pct=None, mean=None, std=None,
-                 fast=False, emit="f32"):
+                 fast=False, emit="f32", code_lut=None):
         from . import native_decode
 
         native_decode.load_library()  # build/verify up front
@@ -280,8 +286,17 @@ class NativeJpegLoader:
         # emit="u8": yield the uint8 CHW crop (pre-normalize) — the 4x-
         # smaller host->device wire format; the consumer applies
         # device_normalize (bit-exact vs f32 emit, tests/test_u8_pipeline.py)
-        if emit not in ("f32", "u8"):
-            raise ValueError(f"emit must be 'f32' or 'u8', got {emit!r}")
+        # emit="codes": the uint8 crop through ``code_lut`` (IntModel.
+        # input_lut) — int8 qact_input codes, same wire bytes as u8 but
+        # ZERO on-device ingest (the codes wire; tests/test_codes_wire.py)
+        if emit not in ("f32", "u8", "codes"):
+            raise ValueError(
+                f"emit must be 'f32', 'u8' or 'codes', got {emit!r}")
+        if (emit == "codes") != (code_lut is not None):
+            raise ValueError("emit='codes' requires code_lut (and code_lut "
+                             "requires emit='codes')")
+        self.code_lut = None if code_lut is None else \
+            np.ascontiguousarray(code_lut, np.int8)
         self.emit = emit
         # Derive preprocessing from the dataset's transform when it
         # advertises its params (build_transform does), so native items and
@@ -323,8 +338,9 @@ class NativeJpegLoader:
     def _pil_fallback(self, idx):
         if self.emit == "f32":
             return self.dataset[idx][0]
-        # u8 emit: the dataset transform normalizes; rebuild the same
-        # geometry stopping at the uint8 crop
+        # u8/codes emit: the dataset transform normalizes; rebuild the
+        # same geometry stopping at the uint8 crop (codes batches apply
+        # the LUT after assembly in _make)
         if not hasattr(self, "_u8_transform"):
             self._u8_transform = build_transform(
                 input_size=self.kw["input_size"], crop_pct=self.kw["crop_pct"],
@@ -337,7 +353,7 @@ class NativeJpegLoader:
         samples = [self.dataset.samples[i] for i in idxs]
         labels = np.asarray([s[1] for s in samples], np.int32)
         paths = [s[0] for s in samples]
-        if self.emit == "u8":
+        if self.emit in ("u8", "codes"):
             geo = dict(input_size=self.kw["input_size"],
                        crop_pct=self.kw["crop_pct"])
             batch_fn = lambda ps: self._nd.decode_preprocess_batch_u8(
@@ -360,6 +376,8 @@ class NativeJpegLoader:
                 except ValueError:
                     outs.append(self._pil_fallback(i))
             imgs = np.stack(outs)
+        if self.emit == "codes":
+            imgs = self._nd.apply_code_lut(imgs, self.code_lut)
         return imgs, labels
 
     def __iter__(self):

@@ -65,8 +65,36 @@ def load_library():
     lib.jpeg_decode_preprocess_batch_u8.argtypes = [
         ctypes.POINTER(u8p), ctypes.POINTER(ctypes.c_ulong), ctypes.c_int,
         u8p, ctypes.c_int, ctypes.c_int, i32p, ctypes.c_int]
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    lib.apply_code_lut.argtypes = [u8p, i8p, i8p, ctypes.c_long,
+                                   ctypes.c_long]
     _LIB = lib
     return lib
+
+
+def apply_code_lut(batch_u8, lut):
+    """NCHW (or CHW) uint8 batch -> int8 input codes via the native
+    memory-speed LUT pass (the codes-wire encoder; falls back to numpy in
+    data/imagenet.encode_input when the native library is unavailable)."""
+    lib = load_library()
+    x = np.ascontiguousarray(batch_u8)
+    if x.dtype != np.uint8:
+        raise TypeError(f"apply_code_lut expects uint8, got {x.dtype}")
+    chw = x.ndim == 3
+    if chw:
+        x = x[None]
+    if x.ndim != 4 or x.shape[1] != 3:
+        raise ValueError(f"expected NCHW with C=3, got shape {x.shape}")
+    lut = np.ascontiguousarray(lut, np.int8)
+    if lut.shape != (3, 256):
+        raise ValueError(f"lut must be (3, 256), got {lut.shape}")
+    out = np.empty(x.shape, np.int8)
+    i8p = ctypes.POINTER(ctypes.c_int8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.apply_code_lut(x.ctypes.data_as(u8p), lut.ctypes.data_as(i8p),
+                       out.ctypes.data_as(i8p), x.shape[0],
+                       x.shape[2] * x.shape[3])
+    return out[0] if chw else out
 
 
 def _u8ptr(b):

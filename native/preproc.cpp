@@ -272,6 +272,22 @@ void preprocess_rgb_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
     }
 }
 
+// Apply the input-code LUT (data/imagenet.input_code_lut: uint8 pixel ->
+// int8 qact_input code, per channel) to an NCHW uint8 batch.  One
+// memory-speed pass; replaces both the ~322 ms/step on-device LUT gather
+// of the u8 wire AND the ~540 ms/batch numpy fancy-index fallback
+// (docs/PERF_ANALYSIS.md round-5 correction).  `lut` is (3, 256) int8.
+void apply_code_lut(const uint8_t* src, const int8_t* lut, int8_t* dst,
+                    long n_images, long hw) {
+#pragma omp parallel for schedule(static)
+    for (long i = 0; i < n_images * 3; i++) {
+        const int8_t* lb = lut + (i % 3) * 256;
+        const uint8_t* s = src + i * hw;
+        int8_t* d = dst + i * hw;
+        for (long j = 0; j < hw; j++) d[j] = lb[s[j]];
+    }
+}
+
 void preprocess_batch(const uint8_t** srcs, const int* shs, const int* sws,
                       int n, float* dst, int resize_to, int crop,
                       const float* mean, const float* std_) {

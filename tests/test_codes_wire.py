@@ -159,6 +159,56 @@ def test_intmodel_encode_roundtrip():
 
 
 @pytest.mark.quick
+def test_native_encode_matches_numpy():
+    """native/preproc.cpp apply_code_lut == the numpy fancy-index
+    fallback, NCHW and CHW."""
+    from diffvit_tpu.data import native_decode
+
+    try:
+        native_decode.load_library()
+    except Exception as e:
+        pytest.skip(f"native library unavailable: {e}")
+    lut = input_code_lut(np.float32(0.013), np.float32(0.0))
+    for shape in ((2, 3, 17, 31), (3, 9, 9)):
+        x = _u8_batch(shape, seed=5)
+        ref = (np.stack([lut[c][x[c]] for c in range(3)], 0) if x.ndim == 3
+               else np.stack([lut[c][x[:, c]] for c in range(3)], 1))
+        got = native_decode.apply_code_lut(x, lut)
+        assert got.dtype == np.int8
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_native_loader_codes_emit():
+    """NativeJpegLoader(emit='codes') == encode_input(u8 batches)."""
+    import tempfile
+
+    from diffvit_tpu.data import native_decode
+    from diffvit_tpu.data.imagenet import (ImageFolder, NativeJpegLoader,
+                                           build_transform)
+    from diffvit_tpu.data.synthetic import make_fake_imagefolder
+
+    try:
+        native_decode.load_library()
+    except Exception as e:
+        pytest.skip(f"native decode unavailable: {e}")
+    lut = input_code_lut(np.float32(0.02), np.float32(0.0))
+    with tempfile.TemporaryDirectory() as root:
+        make_fake_imagefolder(root, num_classes=2, per_class=3, size=256)
+        ds = ImageFolder(root, build_transform(normalize=False))
+        u8 = list(NativeJpegLoader(ds, batch_size=3, emit="u8"))
+        codes = list(NativeJpegLoader(ds, batch_size=3, emit="codes",
+                                      code_lut=lut))
+        assert len(codes) == len(u8)
+        for (ci, cl), (ui, ul) in zip(codes, u8):
+            np.testing.assert_array_equal(cl, ul)
+            np.testing.assert_array_equal(ci, encode_input(ui, lut))
+    with pytest.raises(ValueError, match="code_lut"):
+        NativeJpegLoader(ds, batch_size=3, emit="codes")
+    with pytest.raises(ValueError, match="code_lut"):
+        NativeJpegLoader(ds, batch_size=3, emit="u8", code_lut=lut)
+
+
+@pytest.mark.quick
 def test_codes_loader_wraps_batches():
     lut = input_code_lut(np.float32(0.02), np.float32(0.0))
     batches = [(_u8_batch((2, 3, 8, 8), seed=i), np.array([0, 1]))
