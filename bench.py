@@ -150,18 +150,20 @@ def bench_vit(model, bits, path, batch, steps=20, bit_config=None,
                                device_chain=device_chain)
 
 
-def bench_serve_scan(model="deit_small", bits=4, k=32, steps=10):
+def bench_serve_scan(model="deit_small", bits=4, k=32, steps=10,
+                     wire="u8"):
     """Scan-k b1 serving: k single-image graphs in ONE dispatch
-    (engine._microbatched), token-chained over a pre-put u8 request
+    (engine._microbatched), token-chained over a pre-put request
     buffer — measures the amortized per-image serving cost a real b1
-    request stream sees on this backend (fixed RPC + arg wire included),
-    regime-robust (the token chains the dispatches, so overlap can't
-    fake it in the fast regime)."""
+    request stream sees on this backend (per-dispatch overhead + any
+    ingest included).  ``wire``: "u8" (device LUT normalize per request)
+    or "codes" (pre-encoded int8 input codes, zero device ingest)."""
     import jax
     import jax.numpy as jnp
 
     from diffvit_tpu.config import QuantConfig
-    from diffvit_tpu.data.imagenet import device_normalize
+    from diffvit_tpu.data.imagenet import (device_normalize, encode_input,
+                                           input_code_lut)
     from diffvit_tpu.engine import _microbatched
     from diffvit_tpu.models import vit, vit_int
     from diffvit_tpu.utils.dispatch import ChainedDispatch
@@ -180,8 +182,14 @@ def bench_serve_scan(model="deit_small", bits=4, k=32, steps=10):
         lambda xf: vit_int.forward_q_int(ip, spec, cfg, xf), 1)
     cd = ChainedDispatch(device_normalize, fwd)
     rng = np.random.default_rng(0)
-    x = jax.device_put(jnp.asarray(
-        rng.integers(0, 255, (k, 3, 224, 224), np.uint8)))
+    reqs = rng.integers(0, 255, (k, 3, 224, 224)).astype(np.uint8)
+    if wire == "codes":
+        bt = cfg.bit_a
+        lut = input_code_lut(np.asarray(ip["qact_input"]["scale"]),
+                             np.asarray(ip["qact_input"]["zp"]),
+                             qmin=bt.lower_bound, qmax=bt.upper_bound)
+        reqs = encode_input(reqs, lut)
+    x = jax.device_put(jnp.asarray(reqs))
     x.block_until_ready()
     for _ in range(2):
         y = cd(x)
@@ -262,6 +270,21 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
         device_normalize,
         lambda xf: vit_int.forward_q_int(ip, spec, cfg, xf))
 
+    # emit="codes": the loader applies the model's input-code LUT in C
+    # (codes wire: zero on-device ingest — the u8 wire's device LUT
+    # normalize is a giant gather, ~322 ms/step at b256 on the round-5
+    # backend; docs/PERF_ANALYSIS.md round-5 correction)
+    code_lut = None
+    if emit == "codes":
+        if not native:
+            raise ValueError("emit='codes' rows use the native loader")
+        from diffvit_tpu.data.imagenet import input_code_lut
+        bt = cfg.bit_a
+        code_lut = input_code_lut(
+            np.asarray(ip["qact_input"]["scale"]),
+            np.asarray(ip["qact_input"]["zp"]),
+            qmin=bt.lower_bound, qmax=bt.upper_bound)
+
     with tempfile.TemporaryDirectory() as root:
         make_fake_imagefolder(root, num_classes=8,
                               per_class=n_images // 8, size=size,
@@ -269,14 +292,16 @@ def bench_pipeline(model="deit_small", bits=4, batch=64, n_images=512,
         ds = ImageFolder(root, build_transform())
         if native:
             loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True,
-                                      fast=fast, emit=emit)
+                                      fast=fast, emit=emit,
+                                      code_lut=code_lut)
         else:
             loader = DataLoader(ds, batch_size=batch, num_workers=8,
                                 drop_last=True)
         if prefetch:
             loader = DevicePrefetcher(loader, depth=prefetch)
         # warm the compile outside the timed loop
-        warm_dtype = jnp.uint8 if emit == "u8" else jnp.float32
+        warm_dtype = {"u8": jnp.uint8, "codes": jnp.int8}.get(
+            emit, jnp.float32)
         fwd(jnp.zeros((batch, 3, 224, 224), warm_dtype)).block_until_ready()
         # eval batches are independent: dispatch asynchronously and block
         # once at the end, exactly like a production eval loop — per-call
@@ -318,8 +343,13 @@ def bench_loader_host(native=False, batch=64, n_images=512, size=256,
                               texture=texture)
         ds = ImageFolder(root, build_transform())
         if native:
+            code_lut = None
+            if emit == "codes":  # loader cost only: any real-shaped LUT
+                from diffvit_tpu.data.imagenet import input_code_lut
+                code_lut = input_code_lut(np.float32(0.02), np.float32(0.0))
             loader = NativeJpegLoader(ds, batch_size=batch, drop_last=True,
-                                      fast=fast, emit=emit)
+                                      fast=fast, emit=emit,
+                                      code_lut=code_lut)
         else:
             loader = DataLoader(ds, batch_size=batch, num_workers=8,
                                 drop_last=True)
@@ -336,69 +366,142 @@ def bench_loader_host(native=False, batch=64, n_images=512, size=256,
     return best
 
 
-def probe_tunnel_regime(steps=12):
-    """Classify the tunnel's dispatch regime so the matrix rows are
-    self-describing (docs/PERF_ANALYSIS.md "Tunnel regimes": the fast
-    path vanished mid-round-4, silently changing what the committed e2e
-    rows meant).  Two chained legs over a b64-u8-sized payload (9.6 MB):
+def bench_hostfed_vit(model="deit_small", bits=4, batch=256, steps=10,
+                      wire="codes"):
+    """Host-fed eval chain: a FRESH pre-put buffer every step (the real
+    eval-loop shape), token-chained, logits retained per step.  Measures
+    what the dispatch stream sustains once batches are device-resident —
+    the e2e ceiling net of decode and device_put.
 
-      pre-put  — every step consumes the SAME pre-put HOST-ORIGINATED
-                 device buffer, ordered by a token (in the wire-bound
-                 regime each such dispatch pays ~24 ms fixed RPC +
-                 bytes/~110 MB/s)
-      carry    — every step consumes the previous step's OUTPUT
-                 (rides free in every regime observed so far)
-
-    ratio >= 4 ⇒ "wire-bound" (host-fed rows measure the wire, not the
-    pipeline); else "fast" (host-originated args pipeline at chip rate).
-    Costs a few seconds; compute is a trivial reduction so both legs are
-    dispatch-dominated.
-
-    The payload MUST come from host memory (numpy): what the wire-bound
-    regime re-ships per dispatch is buffers whose PROVENANCE is the host.
-    A `jnp.zeros` payload is created by an on-device fill — a dispatch
-    output — and rides free even in the wire-bound regime (measured: the
-    same loop reads 0.03 ms/step with a jnp.zeros payload and ~111 ms/step
-    with an equal-sized numpy one), which would misclassify the regime as
-    fast."""
+    ``wire``: "codes" (int8 input codes, zero device ingest), "u8" (the
+    device LUT normalize — the round-5 backend lowers that gather at
+    ~322 ms/step at b256, docs/PERF_ANALYSIS.md round-5 correction), or
+    "f32".  Measured round 5: codes 32.8 ms/step = 7,806 img/s at b256
+    (AT the 33.3 ms carry floor) vs u8 354.8 ms = 721 img/s —
+    bit-identical logits (scripts/ab_codes_wire.py)."""
     import jax
     import jax.numpy as jnp
 
-    payload = np.zeros((64, 3, 224, 224), np.uint8)
+    from diffvit_tpu.config import QuantConfig
+    from diffvit_tpu.data.imagenet import (device_normalize, encode_input,
+                                           input_code_lut)
+    from diffvit_tpu.models import vit, vit_int
+
+    spec = vit.VIT_SPECS[model]
+    cfg = QuantConfig()
+
+    def build():
+        params = vit.init_params(spec, jax.random.PRNGKey(0))
+        qp = _synth_qp(lambda p, b: vit.calibrate(p, spec, cfg, b), params)
+        return vit_int.prepare_int(params, qp, spec, cfg,
+                                   (bits,) * vit.num_bit_slots(spec))
+
+    ip = _setup_on_cpu(build)
 
     @jax.jit
-    def preput_step(x, tok):
-        return tok * 0.5 + jnp.sum(x, dtype=jnp.int32).astype(jnp.float32)
+    def step(x, tok):
+        xf = device_normalize(x)
+        if xf.dtype != jnp.int8:
+            xf = xf + (0.0 * tok).astype(xf.dtype)
+        logits = vit_int.forward_q_int(ip, spec, cfg, xf)
+        return logits, 1e-12 * jnp.nan_to_num(jnp.sum(logits))
 
-    @jax.jit
-    def carry_step(x):
-        return x * 1.0000001
+    rng = np.random.default_rng(0)
+    hosts = [rng.integers(0, 256, (batch, 3, 224, 224), dtype=np.uint8)
+             for _ in range(steps)]
+    if wire == "codes":
+        bt = cfg.bit_a
+        lut = input_code_lut(np.asarray(ip["qact_input"]["scale"]),
+                             np.asarray(ip["qact_input"]["zp"]),
+                             qmin=bt.lower_bound, qmax=bt.upper_bound)
+        hosts = [encode_input(h, lut) for h in hosts]
+    elif wire == "f32":
+        hosts = [np.float32(h) / 255.0 for h in hosts]
+    xs = [jax.device_put(h) for h in hosts]
+    for x in xs:
+        x.block_until_ready()
+    tok = jnp.float32(0.0)
+    logits, tok = step(xs[0], tok)
+    logits.block_until_ready()
+    tok = jnp.float32(0.0)
+    outs = []
+    t0 = time.perf_counter()
+    for i in range(steps):
+        logits, tok = step(xs[i], tok)
+        outs.append(logits)
+    for o in outs:
+        o.block_until_ready()
+    return batch * steps / (time.perf_counter() - t0)
 
-    xd = jax.device_put(payload)
+
+def probe_ingest_regime(steps=8):
+    """Stamp the matrix with the two backend numbers its host-fed rows
+    depend on (docs/PERF_ANALYSIS.md round-5 correction — the round-4/5
+    'tunnel regime' flips were actually the u8 LUT-normalize gather's
+    on-device cost drifting with backend updates, plus a fixed retained-
+    output dispatch overhead):
+
+      u8_ingest  — chained LUT-normalize -> fake-quant -> patchify ->
+                   patch-matmul of a DEVICE-ORIGINATED b256 u8 payload:
+                   the model's actual stem.  The consumer matters: forms
+                   that fuse the gather into a reduce read ~0 ms even
+                   while the model's materialized form costs ~322 ms
+                   (both measured round 5 minutes apart) — only the
+                   stem-with-matmul shape reproduces the slow lowering
+                   reliably.  ~367 ms when slow, ~ms when the backend
+                   lowers the gather well.
+      dispatch   — a trivial-compute chain whose per-step output is
+                   retained (the per-dispatch overhead every real eval
+                   step pays; ~25 ms round 5, overlaps with compute)
+
+    Device-originated payloads keep the wire out of both legs."""
+    import jax
+    import jax.numpy as jnp
+
+    from diffvit_tpu.data.imagenet import device_normalize
+
+    xd = jnp.zeros((256, 3, 224, 224), jnp.uint8)
     xd.block_until_ready()
-    tok = preput_step(xd, jnp.float32(0.0))
+    w = jnp.full((768, 8), 0.01, jnp.float32)
+
+    @jax.jit
+    def ingest_step(x, tok):
+        xf = device_normalize(x) + 0.0 * tok
+        xq = jnp.clip(jnp.round(xf / 0.02), -128, 127) * 0.02
+        p = xq.reshape(256, 3, 14, 16, 14, 16) \
+              .transpose(0, 2, 4, 1, 3, 5).reshape(256, 196, 768)
+        return 1e-12 * jnp.nan_to_num(jnp.sum(p @ w))
+
+    tok = ingest_step(xd, jnp.float32(0.0))
     tok.block_until_ready()
+    tok = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(steps):
-        tok = preput_step(xd, tok)
+        tok = ingest_step(xd, tok)
     tok.block_until_ready()
-    preput_ms = (time.perf_counter() - t0) / steps * 1e3
+    ingest_ms = (time.perf_counter() - t0) / steps * 1e3
 
-    c = jnp.asarray(payload, jnp.float32)
-    c = carry_step(c)
-    c.block_until_ready()
+    @jax.jit
+    def retained_step(x, tok):
+        s = jnp.sum(x, dtype=jnp.int32).astype(jnp.float32)
+        return s, tok * 0.5 + 1e-12 * s
+
+    out, tok = retained_step(xd, jnp.float32(0.0))
+    out.block_until_ready()
+    tok = jnp.float32(0.0)
+    outs = []
     t0 = time.perf_counter()
     for _ in range(steps):
-        c = carry_step(c)
-    c.block_until_ready()
-    carry_ms = (time.perf_counter() - t0) / steps * 1e3
+        out, tok = retained_step(xd, tok)
+        outs.append(out)
+    for o in outs:
+        o.block_until_ready()
+    disp_ms = (time.perf_counter() - t0) / steps * 1e3
 
-    ratio = preput_ms / max(carry_ms, 1e-6)
-    return {"preput_arg_ms_per_step": round(preput_ms, 2),
-            "carry_ms_per_step": round(carry_ms, 2),
-            "ratio": round(ratio, 1),
-            "verdict": "wire-bound" if ratio >= 4.0 else "fast",
-            "payload_mb": 9.6}
+    return {"u8_ingest_ms_per_step_b256": round(ingest_ms, 2),
+            "dispatch_overhead_ms_per_step": round(disp_ms, 2),
+            "verdict": ("u8-gather-slow" if ingest_ms > 10.0
+                        else "u8-gather-fast")}
 
 
 def run_matrix(only=None):
@@ -414,10 +517,11 @@ def run_matrix(only=None):
                    # regex matching nothing must not look like success)
 
     try:
-        regime = probe_tunnel_regime()
-        print(f"  tunnel regime: {regime['verdict']} "
-              f"(pre-put arg {regime['preput_arg_ms_per_step']} ms/step vs "
-              f"carry {regime['carry_ms_per_step']} ms/step)", flush=True)
+        regime = probe_ingest_regime()
+        print(f"  ingest regime: {regime['verdict']} "
+              f"(u8 ingest {regime['u8_ingest_ms_per_step_b256']} ms/step "
+              f"b256, dispatch overhead "
+              f"{regime['dispatch_overhead_ms_per_step']} ms)", flush=True)
     except Exception as e:  # the probe must never block the matrix
         regime = {"error": str(e)[:200]}
 
@@ -500,6 +604,18 @@ def run_matrix(only=None):
     # carry-threaded chip rate.
     add("deit_small_int4_serve_scan32_b1_u8", bench_serve_scan,
         model="deit_small", bits=4, k=32)
+    # same request stream on the codes wire (no per-request device ingest)
+    add("deit_small_int4_serve_scan32_b1_codes", bench_serve_scan,
+        model="deit_small", bits=4, k=32, wire="codes")
+    # host-fed eval chains: fresh pre-put buffer per step, logits
+    # retained — the dispatch-stream ceiling a real eval loop sees once
+    # batches are on device.  codes vs u8 is the round-5 ingest story:
+    # 7.8k vs 0.72k img/s at b256 (docs/PERF_ANALYSIS.md round-5
+    # correction), bit-identical logits.
+    add("deit_small_int4_hostfed_codes_b256", bench_hostfed_vit,
+        model="deit_small", bits=4, batch=256, wire="codes")
+    add("deit_small_int4_hostfed_u8_b256", bench_hostfed_vit,
+        model="deit_small", bits=4, batch=256, wire="u8")
     add("swin_tiny_int8_int_b1", bench_swin,
         model="swin_tiny", bits=8, batch=1, steps=60, device_chain=True)
     add("swin_tiny_int8_int_b8", bench_swin,
@@ -512,6 +628,9 @@ def run_matrix(only=None):
     # normalize + f32 store entirely (the device LUT-normalizes)
     add("host_loader_native_u8_b64", bench_loader_host, native=True,
         emit="u8")
+    # codes emit: u8 + the in-C input-code LUT (the codes wire's host cost)
+    add("host_loader_native_codes_b64", bench_loader_host, native=True,
+        emit="codes")
     # ImageNet-val-median geometry (500x375) with photo-like JPEG entropy:
     # the resample + DCT-scaled fast decode engage here, unlike the
     # 256-square legacy fixture.  The legacy noise fixture is Huffman-
@@ -553,6 +672,17 @@ def run_matrix(only=None):
     add("pipeline_e2e_jpeg_native_u8_pf_fast_photo500_deit_small_int4_b256",
         bench_pipeline, native=True, emit="u8", prefetch=2, batch=256,
         n_images=2560, size=(500, 375), fast=True, texture="photo")
+    # codes wire e2e: the loader emits int8 input codes (in-C LUT), the
+    # device runs ZERO ingest ops — removes the u8 wire's ~322 ms/step
+    # on-device gather from every host-fed batch (round-5 correction)
+    add("pipeline_e2e_jpeg_native_codes_pf_deit_small_int4_b64",
+        bench_pipeline, native=True, emit="codes", prefetch=2)
+    add("pipeline_e2e_jpeg_native_codes_pf_deit_small_int4_b256",
+        bench_pipeline, native=True, emit="codes", prefetch=2, batch=256,
+        n_images=2560)
+    add("pipeline_e2e_jpeg_native_codes_pf_fast_photo500_deit_small_int4_b64",
+        bench_pipeline, native=True, emit="codes", prefetch=2,
+        size=(500, 375), fast=True, texture="photo")
 
     if pat is not None:  # merge refreshed rows into the saved matrix
         try:
@@ -564,29 +694,32 @@ def run_matrix(only=None):
         rows = [fresh.pop(r["config"], r) for r in old] + list(fresh.values())
     payload = {"rows": rows, "unit": "images/sec/chip",
                "target": TARGET_IMG_PER_SEC,
-               "tunnel_regime_at_measurement": regime,
+               "ingest_regime_at_measurement": regime,
                "notes": {
                    "chip_rows": "model rows are carry-threaded chained "
                    "timing = true per-chip compute rate (CLAUDE.md; "
                    "fire-and-forget lies on this backend)",
-                   "pipeline_e2e_rows": "host-fed rows are wire-bound on "
-                   "this rig: every image crosses the tunnel twice "
-                   "(device_put ~37 MB/s + per-dispatch re-ship ~110 "
-                   "MB/s, serialized with compute).  The honest e2e "
-                   "target is the measured component bound "
-                   "min(decode, put-ceiling) x contention — NOT the "
-                   "chip rate and NOT the 5k north star, which is both "
-                   "decode-impossible on 1 host core and wire-impossible "
-                   "at these bandwidths.  Split + structure sweep: "
-                   "docs/PERF_ANALYSIS.md round-5 e2e section; b256 "
-                   "interleaves worse than b64 (longer atomic RPCs), so "
-                   "prefer b64 e2e on this rig.",
-                   "tunnel_regime": "the host-fed rows (pipeline_e2e, "
-                   "serve_scan) depend on the tunnel's dispatch regime, "
-                   "which has flipped between rounds (round 4's fast path "
-                   "vanished mid-round); tunnel_regime_at_measurement "
-                   "records bench.probe_tunnel_regime's classification "
-                   "from THIS matrix run so the rows are self-describing.",
+                   "ingest_correction": "the round-4/5 'tunnel regime' "
+                   "story is SUPERSEDED: the u8 wire's on-device LUT "
+                   "normalize is a 12.8M-element gather at b256 that the "
+                   "current backend lowers at ~322 ms/step (it was ~20 ms "
+                   "in round 4 — backend drift, not a wire regime).  The "
+                   "codes wire (emit='codes': host-side in-C input-code "
+                   "LUT, int8 on the wire, zero device ingest) removes it "
+                   "entirely: hostfed_codes_b256 runs AT the carry-loop "
+                   "chip floor, bit-identical logits.  "
+                   "ingest_regime_at_measurement stamps this run's "
+                   "measured u8-ingest + dispatch-overhead costs so "
+                   "host-fed rows stay self-describing across backend "
+                   "drift (docs/PERF_ANALYSIS.md round-5 correction).",
+                   "pipeline_e2e_rows": "e2e = min(1-core decode, "
+                   "device_put wire, chip rate).  With the codes wire the "
+                   "dispatch stream runs at chip rate, so the e2e rows "
+                   "measure min(decode, put); put bandwidth through the "
+                   "tunnel drifts 40-190 MB/s by time of day (measured "
+                   "round 5), so e2e rows carry that variance.  The 5k "
+                   "north star remains decode-impossible on 1 host core; "
+                   "the loader rows bound it honestly.",
                }}
     if pat is not None and not measured:
         # nothing matched: do NOT rewrite the matrix as if refreshed
